@@ -1,0 +1,153 @@
+"""Interactive playable-video generation.
+
+Reference: play.py:30-211 — OpenCV fullscreen window with number-key
+actions, saving PNG frames + mp4 variants + pickle metadata per session.
+
+This environment has no display/OpenCV/ffmpeg; the TPU-native rewrite
+separates the device-resident jitted play step (inference/play_session.py)
+from the front end:
+  - `--interactive`: terminal UI reading action keys from stdin,
+    saving each session as PNG frames + metadata pickle (and mp4 when
+    ffmpeg is present);
+  - default: scripted rollout of random or provided actions, benchmarking
+    per-frame latency.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import time
+
+import numpy as np
+
+from playablevideogeneration_tpu.config import registry
+from playablevideogeneration_tpu.config.configuration import Configuration
+from playablevideogeneration_tpu.data.splitter import generate_splits
+from playablevideogeneration_tpu.data.transforms import get_final_transforms
+from playablevideogeneration_tpu.data.video_dataset import VideoDataset, collate
+from playablevideogeneration_tpu.inference.play_session import (
+    PlaySession,
+    frame_to_uint8,
+)
+from playablevideogeneration_tpu.utils.logging import Logger
+from playablevideogeneration_tpu.utils.video_saver import VideoSaver
+
+
+def load_play_session(config_dict, noise: bool = False):
+    """Builds the model, restores the checkpoint and picks a start
+    observation from the validation set (reference play.py:38-101)."""
+    registry._register_defaults()
+    logger = Logger(config_dict)
+    model_factory = registry.resolve("model", config_dict["model"]["architecture"])
+    model = model_factory(config_dict)
+
+    transforms = get_final_transforms(config_dict)
+    splits = generate_splits(config_dict)
+    path, batching, allowed = splits["validation"]
+    dataset = VideoDataset(path, batching, transforms["validation"],
+                           allowed_videos=allowed)
+
+    trainer_factory = registry.resolve("trainer", config_dict["training"]["trainer"])
+    trainer = trainer_factory(config_dict, model, dataset, logger)
+    trainer.init_state(collate([dataset[0]]))
+    trainer.load_checkpoint()
+    logger.print(f"- Loaded checkpoint at step {trainer.global_step}")
+
+    rng = np.random.default_rng(int(time.time()))
+    sample = dataset[int(rng.integers(0, len(dataset)))]
+    t = int(rng.integers(0, sample.observations.shape[0]))
+    observation = sample.observations[t]
+
+    session = PlaySession(model, trainer.state.variables(), noise=noise)
+    session.start(observation)
+    return session, observation, logger
+
+
+def save_session(frames, actions, output_dir: str, logger: Logger):
+    """Saves a play session: PNGs + metadata + mp4 when possible
+    (reference play.py:182-198)."""
+    os.makedirs(output_dir, exist_ok=True)
+    from PIL import Image
+
+    for i, frame in enumerate(frames):
+        Image.fromarray(frame_to_uint8(frame)).save(
+            os.path.join(output_dir, f"{i:05d}.png"))
+    with open(os.path.join(output_dir, "session.pkl"), "wb") as f:
+        pickle.dump({"actions": actions}, f)
+    saver = VideoSaver()
+    if saver.available:
+        saver.save_video(np.stack([frame_to_uint8(f) for f in frames]),
+                         os.path.join(output_dir, "session.mp4"))
+    logger.print(f"- Session saved to {output_dir}")
+
+
+def interactive_loop(session: PlaySession, logger: Logger, output_dir: str,
+                     actions_count: int):
+    """Terminal interactive loop (reference play.py:138-201)."""
+    frames, actions = [], []
+    logger.print(f"Keys: 1..{actions_count} = action, 0 = save & reset, q = quit")
+    while True:
+        key = input("action> ").strip()
+        if key == "q":
+            break
+        if key == "0":
+            save_session(frames, actions,
+                         os.path.join(output_dir, f"session_{int(time.time())}"),
+                         logger)
+            frames, actions = [], []
+            continue
+        try:
+            action = int(key) - 1
+        except ValueError:
+            continue
+        if not 0 <= action < actions_count:
+            continue
+        start = time.perf_counter()
+        frame = session.generate_next(action)
+        latency = (time.perf_counter() - start) * 1000
+        frames.append(frame)
+        actions.append(action)
+        logger.print(f"frame {len(frames)} action {action} ({latency:.1f} ms)")
+
+
+def main():
+    from playablevideogeneration_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--interactive", action="store_true")
+    parser.add_argument("--frames", type=int, default=60,
+                        help="scripted rollout length")
+    parser.add_argument("--noise", action="store_true",
+                        help="sample N(0,1) action variations")
+    args = parser.parse_args()
+
+    configuration = Configuration(args.config)
+    configuration.check_config()
+    configuration.create_directory_structure()
+    config_dict = configuration.get_config()
+
+    session, observation, logger = load_play_session(config_dict, noise=args.noise)
+    output_dir = config_dict["logging"]["output_directory"]
+
+    if args.interactive:
+        interactive_loop(session, logger, output_dir,
+                         config_dict["data"]["actions_count"])
+        return
+
+    rng = np.random.default_rng(0)
+    actions = rng.integers(0, config_dict["data"]["actions_count"],
+                           size=args.frames)
+    start = time.perf_counter()
+    frames = session.rollout(actions)
+    elapsed = time.perf_counter() - start
+    logger.print(f"- Generated {len(frames)} frames in {elapsed:.2f}s "
+                 f"({len(frames) / elapsed:.1f} fps)")
+    save_session(list(frames), actions.tolist(),
+                 os.path.join(output_dir, "scripted_session"), logger)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,271 @@
+"""Basic convolutional building blocks, NHWC / TPU-native.
+
+Functional re-designs of the reference blocks:
+- ResidualBlock  (reference: model/layers/residual_block.py:14-67)
+- SameBlock      (reference: model/layers/same_block.py:10-47)
+- UpBlock        (reference: model/layers/up_block.py:5-46)
+- FinalBlock     (reference: model/layers/final_block.py:9-29)
+- ConvLSTMCell   (reference: model/layers/convolutional_lstm_cell.py:6-102)
+
+Differences from the reference by design (TPU-first):
+- NHWC layout; convolutions map onto the MXU via XLA.
+- The four ConvLSTM gate convolutions are fused into a single convolution
+  producing 4*C channels (mathematically identical to four separate
+  convolutions over the same input; one big MXU matmul instead of four).
+- Downsampling uses average pooling exactly like the reference (not strided
+  conv) to preserve the architecture.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def leaky_relu(x: jnp.ndarray) -> jnp.ndarray:
+    """LeakyReLU with the reference's fixed negative slope 0.2."""
+    return nn.leaky_relu(x, negative_slope=0.2)
+
+
+def avg_pool(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Average pool with window == stride == factor (identity for factor 1)."""
+    if factor == 1:
+        return x
+    return nn.avg_pool(x, (factor, factor), strides=(factor, factor))
+
+
+def upsample_bilinear(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Bilinear x`scale` upsampling of NHWC tensors.
+
+    Matches torch ``F.interpolate(scale_factor=s, mode='bilinear')``
+    (align_corners=False) which jax.image.resize('linear') implements.
+    """
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * scale, w * scale, c), method="linear")
+
+
+def upsample_nearest(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * scale, w * scale, c), method="nearest")
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch-compatible hyperparameters.
+
+    torch BatchNorm2d(momentum=0.1) == flax BatchNorm(momentum=0.9);
+    epsilon 1e-5 in both.  Statistics are kept in the 'batch_stats'
+    collection and computed in float32 regardless of compute dtype.
+    """
+
+    use_running_average: bool = False
+    affine: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=0.9,
+            epsilon=1e-5,
+            use_bias=self.affine,
+            use_scale=self.affine,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class ResidualBlock(nn.Module):
+    """conv3x3 -> avgpool(d) -> BN -> lrelu -> conv3x3 -> BN (+ shortcut) -> add -> lrelu.
+
+    Shortcut = conv1x1 -> avgpool(d) -> BN when the shape changes.
+    Reference: model/layers/residual_block.py:49-67.
+    """
+
+    out_planes: int
+    downsample_factor: int = 1
+    last_affine: bool = True
+    drop_final_activation: bool = False
+    train: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_planes = x.shape[-1]
+        out = nn.Conv(self.out_planes, (3, 3), use_bias=False, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="conv1")(x)
+        out = avg_pool(out, self.downsample_factor)
+        out = BatchNorm(use_running_average=not self.train, dtype=self.dtype, name="bn1")(out)
+        out = leaky_relu(out)
+        out = nn.Conv(self.out_planes, (3, 3), use_bias=False, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="conv2")(out)
+        out = BatchNorm(use_running_average=not self.train, affine=self.last_affine,
+                        dtype=self.dtype, name="bn2")(out)
+
+        identity = x
+        if self.downsample_factor != 1 or in_planes != self.out_planes:
+            identity = nn.Conv(self.out_planes, (1, 1), use_bias=False, dtype=self.dtype,
+                               param_dtype=jnp.float32, name="shortcut_conv")(x)
+            identity = avg_pool(identity, self.downsample_factor)
+            identity = BatchNorm(use_running_average=not self.train, affine=self.last_affine,
+                                 dtype=self.dtype, name="shortcut_bn")(identity)
+
+        out = out + identity
+        if not self.drop_final_activation:
+            out = leaky_relu(out)
+        return out
+
+
+class SameBlock(nn.Module):
+    """conv3x3 -> optional avgpool -> BN -> lrelu (reference same_block.py:36-47)."""
+
+    out_planes: int
+    downsample_factor: int = 1
+    drop_final_activation: bool = False
+    train: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.Conv(self.out_planes, (3, 3), use_bias=False, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="conv1")(x)
+        out = avg_pool(out, self.downsample_factor)
+        out = BatchNorm(use_running_average=not self.train, dtype=self.dtype, name="bn1")(out)
+        if not self.drop_final_activation:
+            out = leaky_relu(out)
+        return out
+
+
+class UpBlock(nn.Module):
+    """interp x`scale` -> conv -> BN -> lrelu; `late_upscaling` moves the
+    interpolation after the activation (reference up_block.py:30-46)."""
+
+    out_planes: int
+    kernel_size: int = 3
+    scale_factor: int = 2
+    upscaling_mode: str = "nearest"
+    late_upscaling: bool = False
+    train: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        up = upsample_bilinear if self.upscaling_mode == "bilinear" else upsample_nearest
+        out = x
+        if not self.late_upscaling:
+            out = up(out, self.scale_factor)
+        out = nn.Conv(self.out_planes, (self.kernel_size, self.kernel_size),
+                      use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                      name="conv")(out)
+        out = BatchNorm(use_running_average=not self.train, dtype=self.dtype, name="norm")(out)
+        out = leaky_relu(out)
+        if self.late_upscaling:
+            out = up(out, self.scale_factor)
+        return out
+
+
+class FinalBlock(nn.Module):
+    """conv -> tanh, producing an image in [-1, 1] (reference final_block.py:24-29)."""
+
+    out_planes: int
+    kernel_size: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.out_planes, (self.kernel_size, self.kernel_size), use_bias=True,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+        return jnp.tanh(x)
+
+
+def broadcast_to_spatial(vec: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """(B, F) -> (B, height, width, F): spatial broadcast of a feature vector.
+
+    TPU-native equivalent of the reference's make_2d_tensor
+    (conv_dynamics_network.py:64-76); the broadcast is free under XLA fusion.
+    """
+    return jnp.broadcast_to(vec[:, None, None, :], (vec.shape[0], height, width, vec.shape[-1]))
+
+
+def channelwise_concat(tensors: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Concatenates NHWC tensors and (B, F) vectors channelwise, broadcasting
+    vectors over the spatial dims (reference conv_dynamics_network.py:78-109)."""
+    height = width = None
+    for t in tensors:
+        if t.ndim == 4:
+            height, width = t.shape[1], t.shape[2]
+            break
+    if height is None:
+        raise ValueError("At least one input must have spatial dimensions")
+    expanded = [
+        t if t.ndim == 4 else broadcast_to_spatial(t, height, width) for t in tensors
+    ]
+    return jnp.concatenate(expanded, axis=-1)
+
+
+class ConvLSTMCell(nn.Module):
+    """Convolutional LSTM cell as a pure (carry, x) -> (carry, y) function.
+
+    The reference keeps recurrent state in module attributes mutated across
+    forward calls (convolutional_lstm.py:43-73); here the (h, c) carry is
+    explicit so the time loop becomes a `lax.scan`.
+
+    The four 3x3 gate convolutions of the reference
+    (convolutional_lstm_cell.py:22-25) are fused into one convolution with
+    4*out_planes output channels; splitting its output reproduces the exact
+    same math with a single MXU pass.
+    """
+
+    out_planes: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry: Tuple[jnp.ndarray, jnp.ndarray], x: jnp.ndarray):
+        h, c = carry
+        z = jnp.concatenate([x, h], axis=-1)
+        gates = nn.Conv(4 * self.out_planes, (3, 3), use_bias=True, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="gates")(z)
+        i, f, o, g = jnp.split(gates, 4, axis=-1)
+        i = nn.sigmoid(i)
+        f = nn.sigmoid(f)
+        o = nn.sigmoid(o)
+        g = jnp.tanh(g)
+        new_c = f * c + i * g
+        new_h = o * jnp.tanh(new_c)
+        return (new_h, new_c), new_h
+
+
+class ConvLSTM(nn.Module):
+    """ConvLSTM with learnable initial (h, c) states.
+
+    Reference: model/layers/convolutional_lstm.py:33-34 keeps the learnable
+    initial states as (C, H, W) parameters expanded per batch; we do the same
+    in HWC layout, but state is threaded explicitly via `init_carry`.
+    """
+
+    out_planes: int
+    height: int
+    width: int
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.cell = ConvLSTMCell(out_planes=self.out_planes, dtype=self.dtype)
+        self.initial_hidden_state = self.param(
+            "initial_hidden_state", nn.initializers.zeros,
+            (self.height, self.width, self.out_planes), jnp.float32)
+        self.initial_cell_state = self.param(
+            "initial_cell_state", nn.initializers.zeros,
+            (self.height, self.width, self.out_planes), jnp.float32)
+
+    def init_carry(self, batch_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        h = jnp.broadcast_to(self.initial_hidden_state[None],
+                             (batch_size,) + self.initial_hidden_state.shape)
+        c = jnp.broadcast_to(self.initial_cell_state[None],
+                             (batch_size,) + self.initial_cell_state.shape)
+        return h.astype(self.dtype), c.astype(self.dtype)
+
+    def __call__(self, carry, x):
+        return self.cell(carry, x)

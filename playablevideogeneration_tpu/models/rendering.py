@@ -1,0 +1,47 @@
+"""Rendering network D: hidden state -> multi-resolution frames.
+
+Reference: model/main_model/rendering_network.py:14-71 (main, widths
+128/128->64->32) and model/reduced_model/rendering_network.py:14-71
+(reduced, widths 64/64->32->16).  Both follow widths
+(hidden, hidden/2, hidden/4), so a single parameterized module covers both
+variants.  Three bilinear x2 upsampling stages (x8 total, back to input
+resolution); after each stage a conv+tanh FinalBlock emits an RGB frame,
+returned high-resolution-first.
+"""
+from __future__ import annotations
+
+from typing import Any, List, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from playablevideogeneration_tpu.models.layers import FinalBlock, ResidualBlock, UpBlock
+
+
+class RenderingNetwork(nn.Module):
+    widths: Tuple[int, int, int]  # output channels of the three upsample stages
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states: jnp.ndarray, train: bool = True
+                 ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        """
+        :param hidden_states: (N, h, w, hidden_state_size)
+        :return: (N, 8h, 8w, 3) full-res frame, and the list
+                 [(N, 8h/2^i, 8w/2^i, 3) for i in range(3)] high-res first,
+                 all in [-1, 1]
+        """
+        x = hidden_states
+        outputs = []
+        final_kernels = (3, 3, 7)
+        for i, width in enumerate(self.widths):
+            x = UpBlock(out_planes=width, scale_factor=2, upscaling_mode="bilinear",
+                        train=train, dtype=self.dtype, name=f"up{i}")(x)
+            if i < len(self.widths) - 1:
+                x = ResidualBlock(out_planes=width, downsample_factor=1, train=train,
+                                  dtype=self.dtype, name=f"res{i}")(x)
+            frame = FinalBlock(out_planes=3, kernel_size=final_kernels[i],
+                               dtype=self.dtype, name=f"final{i}")(x)
+            outputs.append(frame)
+        outputs = list(reversed(outputs))  # high-res first (reference rend.py:70)
+        return outputs[0], outputs

@@ -1,0 +1,50 @@
+"""Representation network E: observation -> (state, spatial attention).
+
+Reference: model/main_model/representation_network.py:8-57.
+conv3x3(->16) + avgpool2 + BN + lrelu, then six residual blocks
+16->16->32->32->64->64->(state_features+1) with two x2 downsamples; the last
+channel becomes a sigmoid spatial attention map, the rest the state.
+Total spatial reduction x8.
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from playablevideogeneration_tpu.models.layers import (
+    BatchNorm,
+    ResidualBlock,
+    avg_pool,
+    leaky_relu,
+)
+
+
+class RepresentationNetwork(nn.Module):
+    state_features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, observations: jnp.ndarray, train: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """
+        :param observations: (N, H, W, 3*observation_stacking), frames
+            most-recent-first along channels
+        :return: state (N, H/8, W/8, state_features),
+                 attention (N, H/8, W/8, 1) in (0, 1)
+        """
+        x = nn.Conv(16, (3, 3), use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv1")(observations)
+        x = avg_pool(x, 2)
+        x = BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(x)
+        x = leaky_relu(x)
+
+        sf = self.state_features
+        specs = [(16, 1), (32, 2), (32, 1), (sf, 2), (sf, 1), (sf + 1, 1)]
+        for i, (planes, down) in enumerate(specs):
+            x = ResidualBlock(out_planes=planes, downsample_factor=down,
+                              train=train, dtype=self.dtype, name=f"res{i}")(x)
+
+        state = x[..., :-1]
+        attention = nn.sigmoid(x[..., -1:])
+        return state, attention

@@ -1,0 +1,56 @@
+"""Device mesh and sharding rules.
+
+The reference's only parallelism is single-process torch DataParallel
+(train.py:67; SURVEY.md §2.6).  The TPU-native design is batch-axis data
+parallelism over the ICI mesh expressed with `jax.sharding`: the batch is
+sharded on the 'data' axis, parameters/optimizer/centroids are replicated,
+and XLA inserts the gradient all-reduces.  A 'model' axis is provisioned in
+the mesh for future tensor sharding of wide layers, unused (size 1) by
+default — the model is small enough that DP is the right decomposition.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(devices: Optional[Sequence] = None, data_parallel: Optional[int] = None,
+              model_parallel: int = 1) -> Mesh:
+    """Builds a (data, model) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data_parallel is None:
+        data_parallel = n // model_parallel
+    if data_parallel * model_parallel != n:
+        raise ValueError(
+            f"mesh {data_parallel}x{model_parallel} does not cover {n} devices")
+    grid = np.asarray(devices).reshape(data_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch_arrays):
+    """Places a pytree of host arrays with the batch axis sharded."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch_arrays)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicates a pytree (params / optimizer / EMA state) on every device."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

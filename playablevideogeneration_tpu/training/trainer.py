@@ -1,0 +1,391 @@
+"""Trainer: jitted, data-parallel training step + host orchestration.
+
+Reference: training/trainer.py:25-613.  The torch trainer's per-step work
+(forward, 7-term weighted loss, backward, Adam, LR schedule, EMA state
+updates) is fused into one jitted `train_step` compiled per
+(sequence_length, phase) pair; the three annealing schedules
+(trainer.py:124-165) are computed on host and the first two enter the
+compiled program as traced scalars (no recompilation).  Data parallelism
+is batch-axis sharding over the ICI mesh (replacing nn.DataParallel,
+train.py:67); XLA inserts the gradient and EMA-statistics all-reduces.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from playablevideogeneration_tpu.data.loader import DataLoader
+from playablevideogeneration_tpu.models import vgg as vgg_lib
+from playablevideogeneration_tpu.models.caddy import Caddy, init_model_variables
+from playablevideogeneration_tpu.models.centroids import average_centroid_distance
+from playablevideogeneration_tpu.parallel import mesh as mesh_lib
+from playablevideogeneration_tpu.training import losses, schedules
+from playablevideogeneration_tpu.training.train_state import TrainState
+from playablevideogeneration_tpu.utils import checkpoint as ckpt_lib
+from playablevideogeneration_tpu.utils.logging import AverageMeter, Logger
+
+
+def compute_loss_terms(
+    model: Caddy,
+    variables: Dict[str, Any],
+    observations: jnp.ndarray,
+    actions: jnp.ndarray,
+    gt_init: jnp.ndarray,
+    gumbel_temperature: jnp.ndarray,
+    sample_rng: jax.Array,
+    vgg_apply,
+    loss_weights: Dict[str, float],
+    mi_lambda: float,
+    pretraining: bool,
+    use_motion_weights: bool,
+    motion_weights_bias: float,
+    mi_matrix: Optional[jnp.ndarray],
+    mi_alpha: Optional[float],
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Forward + all loss terms (reference trainer.py:241-550).
+
+    Returns (total_loss, aux) where aux carries mutated collections, the
+    new MI matrix, and the diagnostic scalars.
+    """
+    out, mutated = model.apply(
+        variables, observations, actions, gt_init,
+        pretraining=pretraining, gumbel_temperature=gumbel_temperature,
+        train=True, mutable=["batch_stats", "model_state"],
+        rngs={"sample": sample_rng})
+
+    suffix = "_pretraining" if pretraining else ""
+    w = loss_weights
+
+    weight_mask = None
+    if use_motion_weights:
+        weight_mask = losses.motion_weight_mask(
+            observations, out.reconstructed_observations, motion_weights_bias)
+
+    # Reconstruction + perceptual averaged over decoder resolutions
+    # (reference trainer.py:445-466).
+    resolutions = out.multiresolution_reconstructed_observations
+    perceptual_total = jnp.zeros(())
+    obs_rec_total = jnp.zeros(())
+    info: Dict[str, Any] = {}
+    for r_idx, recon in enumerate(resolutions):
+        p_total, p_levels = losses.perceptual_loss(
+            vgg_apply, observations, recon, weight_mask)
+        o_loss = losses.observations_loss(observations, recon, weight_mask)
+        perceptual_total = perceptual_total + p_total
+        obs_rec_total = obs_rec_total + o_loss
+        info[f"perceptual_loss_r{r_idx}"] = p_total
+        info[f"observations_rec_loss_r{r_idx}"] = o_loss
+        for l_idx, level in enumerate(p_levels):
+            info[f"perceptual_loss_r{r_idx}_l{l_idx}"] = level
+    n_res = float(len(resolutions))
+    perceptual_loss = perceptual_total / n_res
+    obs_rec_loss = obs_rec_total / n_res
+    perceptual_term = w[f"perceptual_loss_lambda{suffix}"] * perceptual_loss
+
+    states_rec_loss = losses.states_loss(
+        jax.lax.stop_gradient(out.states), out.reconstructed_states)
+    entropy_loss = losses.entropy_logits(out.action_logits)
+    directions_kl = losses.kl_gaussian_divergence(out.action_directions_distribution)
+    # The reconstructed action-state distribution chases the true one, not
+    # vice versa (reference trainer.py:319,474).
+    action_state_kl = losses.kl_general_gaussian_divergence(
+        out.reconstructed_action_states_distribution,
+        jax.lax.stop_gradient(out.action_states_distribution))
+
+    p_real = jax.nn.softmax(out.action_logits, axis=-1)
+    p_recon = jax.nn.softmax(out.reconstructed_action_logits, axis=-1)
+    if mi_matrix is not None:
+        mi_loss, new_mi_matrix = losses.smooth_mutual_information_loss(
+            p_real, p_recon, mi_matrix, mi_alpha, lamb=mi_lambda)
+    else:
+        mi_loss = losses.mutual_information_loss(p_real, p_recon, lamb=mi_lambda)
+        new_mi_matrix = None
+
+    total = (
+        w[f"reconstruction_loss_lambda{suffix}"] * obs_rec_loss
+        + perceptual_term
+        + w[f"states_rec_lambda{suffix}"] * states_rec_loss
+        + w[f"entropy_lambda{suffix}"] * entropy_loss
+        + w[f"action_directions_kl_lambda{suffix}"] * directions_kl
+        + w[f"action_mutual_information_lambda{suffix}"] * mi_loss
+        + w[f"action_state_distribution_kl_lambda{suffix}"] * action_state_kl
+    )
+
+    if pretraining:
+        # Gradient must not flow from the dynamics hidden states into the
+        # representation network through the projection target
+        # (reference trainer.py:313).
+        hidden_rec_loss = losses.hidden_states_loss(
+            out.hidden_states,
+            jax.lax.stop_gradient(out.reconstructed_hidden_states))
+        total = total + w["hidden_states_rec_lambda_pretraining"] * hidden_rec_loss
+        info["hidden_states_rec_loss"] = hidden_rec_loss
+
+    # Diagnostics (reference trainer.py:477-535); all cheap scalars.
+    centroids = mutated["model_state"]["centroids"]
+    diag = dict(
+        avg_observations_rec_loss=obs_rec_loss,
+        avg_perceptual_loss=perceptual_loss,
+        loss_component_perceptual_loss=perceptual_term,
+        states_rec_loss=states_rec_loss,
+        entropy_loss=entropy_loss,
+        samples_entropy=losses.entropy_probabilities(out.action_samples),
+        action_distribution_entropy=losses.entropy_probabilities(
+            out.action_samples.mean(axis=(0, 1))[None]),
+        states_magnitude=jnp.mean(jnp.abs(out.states)),
+        hidden_states_magnitude=jnp.mean(jnp.abs(out.hidden_states)),
+        action_directions_mean_magnitude=jnp.mean(
+            jnp.abs(out.action_directions_distribution[:, :, 0])),
+        action_directions_variance_magnitude=jnp.mean(
+            jnp.abs(out.action_directions_distribution[:, :, 1])),
+        action_directions_reconstruction_error=jnp.mean(
+            (out.reconstructed_action_directions_distribution[:, :, 0]
+             - out.action_directions_distribution[:, :, 0]) ** 2),
+        action_directions_kl_loss=directions_kl,
+        centroids_mean_magnitude=jnp.mean(jnp.abs(centroids)),
+        average_centroids_distance=average_centroid_distance(centroids),
+        average_action_variations_norm_l2=jnp.mean(
+            jnp.sqrt(jnp.sum(out.action_variations**2, axis=-1) + 1e-12)),
+        action_variations_mean=jnp.mean(out.action_variations),
+        action_mutual_information_loss=mi_loss,
+        action_state_distribution_kl_loss=action_state_kl,
+    )
+    diag = {k: jax.lax.stop_gradient(v) for k, v in diag.items()}
+    info.update(diag)
+
+    aux = dict(mutated=mutated, new_mi_matrix=new_mi_matrix, info=info)
+    return total, aux
+
+
+class Trainer:
+    """Host-side training orchestration (reference trainer.py:25-613)."""
+
+    def __init__(self, config, model: Caddy, dataset, logger: Logger,
+                 smooth_mi: bool = False, mesh=None, vgg_variables=None):
+        self.config = config
+        self.model = model
+        self.dataset = dataset
+        self.logger = logger
+        self.smooth_mi = smooth_mi
+        self.global_step = 0
+
+        t = config["training"]
+        self.tx = schedules.make_optimizer(config)
+        self.lr_schedule = schedules.multistep_lr(
+            t["learning_rate"], t["lr_schedule"], t["lr_gamma"])
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        self._replicated = mesh_lib.replicated_sharding(self.mesh)
+        self._batch_sharded = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
+
+        if vgg_variables is None:
+            vgg_variables = vgg_lib.random_vgg_variables(jax.random.PRNGKey(97))
+            self.logger.print(
+                "[trainer] WARNING: no pretrained VGG weights provided; "
+                "perceptual loss uses random VGG19 features")
+        # VGG params are threaded through the jitted step as an ARGUMENT:
+        # closure capture would bake ~MBs of weights into the lowered module
+        # as inline constants (pathological lowering time).
+        self.vgg_variables = mesh_lib.replicate(self.mesh, vgg_variables)
+
+        self.dataloader = DataLoader(
+            dataset,
+            batch_size=t["batching"]["batch_size"],
+            shuffle=True,
+            drop_last=True,
+            num_workers=t["batching"]["num_workers"],
+            prefetch=config.get("tpu", {}).get("prefetch_batches", 2),
+        )
+
+        self._rng = jax.random.PRNGKey(config.get("seed", 0))
+        self._jitted: Dict[Tuple[int, bool], Any] = {}
+        self.average_meter = AverageMeter()
+        self.state: Optional[TrainState] = None
+
+    # ------------------------------------------------------------------ #
+    # State init / checkpointing                                          #
+    # ------------------------------------------------------------------ #
+
+    def init_state(self, sample_batch) -> TrainState:
+        rng, self._rng = jax.random.split(self._rng)
+        variables = init_model_variables(
+            self.model, rng,
+            jnp.asarray(sample_batch.observations),
+            jnp.asarray(sample_batch.actions))
+        params = variables["params"]
+        state = TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            batch_stats=variables.get("batch_stats", {}),
+            model_state=variables.get("model_state", {}),
+            mi_matrix=losses.init_mi_matrix(self.config["data"]["actions_count"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.state = mesh_lib.replicate(self.mesh, state)
+        return self.state
+
+    def save_checkpoint(self, name: Optional[str] = None):
+        directory = self.config["logging"]["save_root_directory"]
+        ckpt_lib.save_checkpoint(
+            os.path.join(directory, name if name else "latest"), self.state)
+
+    def load_checkpoint(self, name: Optional[str] = None):
+        directory = self.config["logging"]["save_root_directory"]
+        path = os.path.join(directory, name if name else "latest")
+        self.state = ckpt_lib.restore_checkpoint(path, self.state)
+        self.state = mesh_lib.replicate(self.mesh, self.state)
+        self.global_step = int(self.state.step)
+
+    # ------------------------------------------------------------------ #
+    # Schedules (host side)                                               #
+    # ------------------------------------------------------------------ #
+
+    def get_ground_truth_observations_count(self) -> int:
+        t = self.config["training"]
+        return schedules.ground_truth_observations_count(
+            self.global_step, t["ground_truth_observations_start"],
+            t["ground_truth_observations_end"], t["ground_truth_observations_steps"])
+
+    def get_gumbel_temperature(self) -> float:
+        t = self.config["training"]
+        return schedules.gumbel_temperature(
+            self.global_step, t["gumbel_temperature_start"],
+            t["gumbel_temperature_end"], t["gumbel_temperature_steps"])
+
+    def get_observations_count(self) -> int:
+        b = self.config["training"]["batching"]
+        return schedules.observations_count(
+            self.global_step, b["observations_count_start"],
+            b["observations_count"], b["observations_count_steps"])
+
+    # ------------------------------------------------------------------ #
+    # Jitted step                                                         #
+    # ------------------------------------------------------------------ #
+
+    def _make_train_step(self, pretraining: bool):
+        t = self.config["training"]
+        loss_weights = dict(t["loss_weights"])
+        mi_lambda = t["action_mutual_information_entropy_lambda"]
+        use_motion = t["use_motion_weights"]
+        motion_bias = t["motion_weights_bias"]
+        mi_alpha = t.get("mutual_information_estimation_alpha", 0.2) \
+            if self.smooth_mi else None
+        model = self.model
+        tx = self.tx
+        model_dtype = self.model.dtype
+        smooth_mi = self.smooth_mi
+
+        def train_step(state: TrainState, observations, actions, gt_init,
+                       gumbel_temperature, rng, vgg_variables):
+            vgg_apply = vgg_lib.make_vgg_apply(vgg_variables, dtype=model_dtype)
+
+            def loss_fn(params):
+                variables = {
+                    "params": params,
+                    "batch_stats": state.batch_stats,
+                    "model_state": state.model_state,
+                }
+                total, aux = compute_loss_terms(
+                    model, variables, observations, actions, gt_init,
+                    gumbel_temperature, rng, vgg_apply, loss_weights, mi_lambda,
+                    pretraining, use_motion, motion_bias,
+                    state.mi_matrix if smooth_mi else None, mi_alpha)
+                return total, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            mutated = aux["mutated"]
+            new_state = TrainState(
+                params=new_params,
+                opt_state=new_opt_state,
+                batch_stats=mutated.get("batch_stats", state.batch_stats),
+                model_state=mutated.get("model_state", state.model_state),
+                mi_matrix=aux["new_mi_matrix"] if smooth_mi else state.mi_matrix,
+                step=state.step + 1,
+            )
+            metrics = dict(aux["info"])
+            metrics["loss"] = loss
+            return new_state, metrics
+
+        donate = (0,) if self.config.get("tpu", {}).get("donate_state", True) else ()
+        return jax.jit(train_step, donate_argnums=donate)
+
+    def _get_train_step(self, observations_count: int, pretraining: bool):
+        key = (observations_count, pretraining)
+        if key not in self._jitted:
+            self._jitted[key] = self._make_train_step(pretraining)
+        return self._jitted[key]
+
+    # ------------------------------------------------------------------ #
+    # Epoch loop                                                          #
+    # ------------------------------------------------------------------ #
+
+    def train_epoch(self, max_steps: Optional[int] = None):
+        """One epoch (reference trainer.py:552-609): anneal sequence length,
+        iterate batches, break on epoch caps or length changes."""
+        assert self.state is not None, "call init_state or load_checkpoint first"
+        self.logger.print(f"== Train [{self.global_step}] ==")
+        observations_count = self.get_observations_count()
+        self.dataset.set_observations_count(observations_count)
+
+        performed_steps = 0
+        for batch in self.dataloader:
+            if performed_steps > self.config["training"]["max_steps_per_epoch"]:
+                break
+            if max_steps is not None and self.global_step >= max_steps:
+                break
+            self.global_step += 1
+            performed_steps += 1
+            if self.get_observations_count() != observations_count:
+                break
+
+            pretraining = self.global_step <= self.config["training"]["pretraining_steps"]
+            gt_init = self.get_ground_truth_observations_count()
+            # Cap at T-1 (reference trainer.py:258-259,418-419).
+            gt_init = min(gt_init, observations_count - 1)
+            gumbel_t = self.get_gumbel_temperature()
+
+            rng, self._rng = jax.random.split(self._rng)
+            step_fn = self._get_train_step(observations_count, pretraining)
+            obs = jax.device_put(batch.observations, self._batch_sharded)
+            acts = jax.device_put(batch.actions, self._batch_sharded)
+
+            start = time.perf_counter()
+            self.state, metrics = step_fn(
+                self.state, obs, acts,
+                jnp.asarray(gt_init, jnp.int32),
+                jnp.asarray(gumbel_t, jnp.float32), rng, self.vgg_variables)
+            metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            metrics["step_time"] = time.perf_counter() - start
+            metrics["ground_truth_observations"] = gt_init
+            metrics["gumbel_temperature"] = gumbel_t
+            metrics["observations_count"] = observations_count
+            self.average_meter.add(metrics)
+
+            lr = float(self.lr_schedule(self.global_step))
+            if (self.global_step - 1) % 1 == 0:
+                avg = {k: self.average_meter.pop(k) for k in metrics}
+                parts = " ".join(f"{k}:{v:.3f}" for k, v in sorted(avg.items())
+                                 if k in ("loss", "avg_observations_rec_loss",
+                                          "avg_perceptual_loss", "states_rec_loss",
+                                          "action_mutual_information_loss",
+                                          "step_time"))
+                self.logger.print(
+                    f"step: {self.global_step}/{self.config['training']['max_steps']} "
+                    f"{parts} lr: {lr:.5f}")
+                if (self.global_step - 1) % 10 == 0:
+                    logged = {f"train/{k}": v for k, v in avg.items()}
+                    logged["train/lr"] = lr
+                    self.logger.log(logged, step=self.global_step)
+
+
+def make_trainer(config, model, dataset, logger, **kw) -> Trainer:
+    """Plain-MI trainer (reference training/trainer.py:612)."""
+    return Trainer(config, model, dataset, logger, smooth_mi=False, **kw)

@@ -1,0 +1,56 @@
+"""Logging: stdout + optional Weights & Biases.
+
+Reference: utils/logger.py:3-14 (stdout + wandb), utils/average_meter.py
+(running means).  wandb is optional here; when unavailable or disabled the
+logger degrades to stdout-only.
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, Optional
+
+
+class AverageMeter:
+    """Running means keyed by name (reference utils/average_meter.py)."""
+
+    def __init__(self):
+        self._sums: Dict[str, float] = defaultdict(float)
+        self._counts: Dict[str, int] = defaultdict(int)
+
+    def add(self, values: Dict[str, float]):
+        for key, value in values.items():
+            self._sums[key] += float(value)
+            self._counts[key] += 1
+
+    def pop(self, key: str) -> float:
+        value = self._sums[key] / max(self._counts[key], 1)
+        del self._sums[key]
+        del self._counts[key]
+        return value
+
+
+class Logger:
+    def __init__(self, config: Optional[dict] = None, use_wandb: bool = False,
+                 project: str = "video-generation"):
+        self.config = config
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                wandb.init(project=project,
+                           name=(config or {}).get("logging", {}).get("run_name"),
+                           config=config)
+                self._wandb = wandb
+            except Exception as e:  # pragma: no cover - wandb optional
+                print(f"[logger] wandb unavailable ({e}); falling back to stdout")
+
+    def print(self, *args, **kwargs):
+        print(*args, **kwargs, flush=True)
+
+    def get_wandb(self):
+        return self._wandb
+
+    def log(self, values: Dict, step: Optional[int] = None):
+        if self._wandb is not None:
+            self._wandb.log(values, step=step)

@@ -1,0 +1,59 @@
+"""Test configuration.
+
+Tests run on CPU.  Multi-device sharding is validated on a fake 8-device
+CPU mesh via ``--xla_force_host_platform_device_count`` (SURVEY.md §4) in a
+*subprocess* (see test_parallel.py) so the rest of the suite is not slowed
+down by virtual devices.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Persistent compilation cache: repeated test runs skip XLA recompilation.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compilation_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def tiny_model():
+    """A tiny CADDY instance shared across tests (compile once)."""
+    from playablevideogeneration_tpu.models.caddy import Caddy
+
+    return Caddy(
+        actions_count=3,
+        action_space_dimension=2,
+        state_features=8,
+        state_resolution=(4, 4),
+        hidden_state_size=8,
+        observation_stacking=2,
+    )
+
+
+@pytest.fixture(scope="session")
+def tiny_variables(tiny_model):
+    import jax
+    import jax.numpy as jnp
+
+    from playablevideogeneration_tpu.models.caddy import init_model_variables
+
+    obs = jnp.zeros((2, 4, 32, 32, 6))
+    acts = jnp.zeros((2, 4), jnp.int32)
+    return init_model_variables(tiny_model, jax.random.PRNGKey(0), obs, acts)
+
+
+@pytest.fixture(scope="session")
+def synthetic_dataset_dir(tmp_path_factory):
+    from playablevideogeneration_tpu.data.synthetic import build_synthetic_dataset
+
+    root = tmp_path_factory.mktemp("synthetic_data")
+    build_synthetic_dataset(str(root), videos_per_split=2, length=16,
+                            height=32, width=32, actions_count=3)
+    return str(root)

@@ -1,0 +1,146 @@
+"""Data layer tests: Video format round-trip, dataset index math, loader."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from playablevideogeneration_tpu.data.loader import DataLoader
+from playablevideogeneration_tpu.data.synthetic import (
+    build_synthetic_dataset,
+    make_moving_square_video,
+)
+from playablevideogeneration_tpu.data.transforms import (
+    make_evaluation_transform,
+    make_train_transform,
+)
+from playablevideogeneration_tpu.data.video import Video
+from playablevideogeneration_tpu.data.video_dataset import VideoDataset, collate
+
+
+def test_video_save_load_roundtrip(tmp_path):
+    video = make_moving_square_video(length=8, height=24, width=24, seed=3)
+    path = str(tmp_path / "v0")
+    video.save(path)
+    # On-disk format: zero-padded frames + 4 pickles (reference video.py:15-18).
+    files = sorted(os.listdir(path))
+    assert "00000.png" in files and "00007.png" in files
+    for pkl in ("actions.pkl", "rewards.pkl", "metadata.pkl", "dones.pkl"):
+        assert pkl in files
+    with open(os.path.join(path, "actions.pkl"), "rb") as f:
+        actions = pickle.load(f)
+    assert len(actions) == 8
+
+    loaded = Video().load(path)
+    assert loaded.get_frames_count() == 8
+    assert loaded.actions == video.actions
+    assert loaded.metadata[0]["state"] == video.metadata[0]["state"]
+    frame = loaded.get_frame_at(0)
+    np.testing.assert_array_equal(np.asarray(frame), np.asarray(video.get_frame_at(0)))
+
+
+def test_dataset_sample_counts(synthetic_dataset_dir):
+    cfg = {"observations_count": 5, "observation_stacking": 2, "skip_frames": 0}
+    t = make_train_transform(None, (32, 32))
+    ds = VideoDataset(os.path.join(synthetic_dataset_dir, "train"), cfg, t)
+    # Each 16-frame video yields 16 - 5 + 1 = 12 samples; 2 videos.
+    assert len(ds) == 24
+
+    ds.set_observations_count(3)
+    assert len(ds) == 28  # 14 per video
+
+    sample = ds[0]
+    assert sample.observations.shape == (3, 32, 32, 6)
+    assert sample.actions.shape == (3,)
+    # Frames are normalized to [-1, 1].
+    assert sample.observations.min() >= -1.0 and sample.observations.max() <= 1.0
+
+
+def test_dataset_stacking_clamps_at_start(synthetic_dataset_dir):
+    cfg = {"observations_count": 2, "observation_stacking": 3, "skip_frames": 0}
+    t = make_train_transform(None, (32, 32))
+    ds = VideoDataset(os.path.join(synthetic_dataset_dir, "train"), cfg, t)
+    s = ds[0]  # starts at frame 0
+    # Observation 0 stacks frames [0, 0, 0] (clamped): all three identical.
+    obs0 = s.observations[0]
+    np.testing.assert_array_equal(obs0[..., 0:3], obs0[..., 3:6])
+    np.testing.assert_array_equal(obs0[..., 3:6], obs0[..., 6:9])
+    # Observation 1 stacks frames [1, 0, 0]: newest-first.
+    obs1 = s.observations[1]
+    np.testing.assert_array_equal(obs1[..., 3:6], obs0[..., 0:3])
+
+
+def test_skip_frames_spacing(tmp_path):
+    video = make_moving_square_video(length=12, height=16, width=16, seed=5)
+    video.save(str(tmp_path / "v"))
+    cfg = {"observations_count": 3, "observation_stacking": 1, "skip_frames": 1}
+    t = make_evaluation_transform(None, (16, 16))
+    ds = VideoDataset(str(tmp_path), cfg, t)
+    # block = 3 + 2*1 = 5 frames -> 12 - 5 + 1 = 8 samples
+    assert len(ds) == 8
+    s = ds[0]
+    # Observations are frames 0, 2, 4.
+    expected = [np.asarray(video.get_frame_at(i), np.float32) / 255.0 for i in (0, 2, 4)]
+    for i, e in enumerate(expected):
+        np.testing.assert_allclose(s.observations[i], e, atol=1e-6)
+    # Actions come from the observed frames.
+    assert list(s.actions) == [video.actions[0], video.actions[2], video.actions[4]]
+
+
+def test_loader_shapes_and_drop_last(synthetic_dataset_dir):
+    cfg = {"observations_count": 4, "observation_stacking": 1, "skip_frames": 0}
+    t = make_train_transform(None, (32, 32))
+    ds = VideoDataset(os.path.join(synthetic_dataset_dir, "train"), cfg, t)
+    loader = DataLoader(ds, batch_size=5, shuffle=True, drop_last=True, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 5
+    for batch in batches:
+        assert batch.observations.shape == (5, 4, 32, 32, 3)
+        assert batch.actions.shape == (5, 4)
+        assert batch.actions.dtype == np.int32
+
+
+def test_loader_deterministic_collate(synthetic_dataset_dir):
+    cfg = {"observations_count": 4, "observation_stacking": 1, "skip_frames": 0}
+    t = make_train_transform(None, (32, 32))
+    ds = VideoDataset(os.path.join(synthetic_dataset_dir, "train"), cfg, t)
+    direct = collate([ds[0], ds[1]])
+    assert direct.observations.shape == (2, 4, 32, 32, 3)
+    assert direct.initial_frames == [0, 1]
+
+
+def test_transforms_crop_and_resize():
+    from PIL import Image
+
+    img = Image.fromarray(np.arange(32 * 32 * 3, dtype=np.uint8).reshape(32, 32, 3))
+    t = make_train_transform([0, 0, 16, 16], (8, 8))
+    out = t(img)
+    assert out.shape == (8, 8, 3)
+    assert out.min() >= -1.0 and out.max() <= 1.0
+    t_eval = make_evaluation_transform(None, (32, 32))
+    out_eval = t_eval(img)
+    assert out_eval.min() >= 0.0 and out_eval.max() <= 1.0
+
+
+def test_splitter_flat_and_splitted(tmp_path):
+    from playablevideogeneration_tpu.data.splitter import generate_splits
+
+    flat_root = str(tmp_path / "flat")
+    build_synthetic_dataset(flat_root, videos_per_split=10, length=4,
+                            height=16, width=16, flat=True)
+    config = {
+        "data": {"data_root": flat_root, "dataset_style": "flat",
+                 "dataset_splits": [0.6, 0.2, 0.2]},
+        "training": {"batching": {"a": 1}},
+        "evaluation": {"batching": {"b": 2}},
+    }
+    splits = generate_splits(config)
+    assert len(splits["train"][2]) == 6
+    assert len(splits["validation"][2]) == 2
+    assert len(splits["test"][2]) == 2
+    assert splits["train"][2].isdisjoint(splits["test"][2])
+
+    config["data"]["dataset_style"] = "splitted"
+    splits = generate_splits(config)
+    assert splits["train"][0].endswith("train")
+    assert splits["validation"][0].endswith("val")

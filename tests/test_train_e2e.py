@@ -1,0 +1,70 @@
+"""End-to-end training smoke test on the synthetic moving-square dataset.
+
+Exercises config -> registry -> datasets -> trainer (pretraining + full
+phases) -> checkpoint save/load -> evaluator, mirroring the reference's
+train.py pipeline (SURVEY.md §3.1) on tiny shapes.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from playablevideogeneration_tpu.data.synthetic import (
+    build_synthetic_dataset,
+    make_synthetic_config,
+)
+
+
+@pytest.fixture(scope="module")
+def synthetic_run(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data_root = str(root / "data")
+    build_synthetic_dataset(data_root, videos_per_split=2, length=12,
+                            height=32, width=32, actions_count=3)
+    config = make_synthetic_config(
+        data_root=data_root, output_root=str(root / "out"),
+        height=32, width=32, actions_count=3, batch_size=2,
+        observations_count=4, observation_stacking=1,
+        hidden_state_size=8, state_features=8,
+        pretraining_steps=1, max_steps=3)
+    config["training"]["batching"]["observations_count_start"] = 4
+    config["evaluation"]["batching"]["observations_count"] = 4
+    config["evaluation"]["batching"]["batch_size"] = 2
+    from playablevideogeneration_tpu.config.configuration import Configuration
+
+    c = Configuration(config=config)
+    c.check_config()
+    c.create_directory_structure()
+    return c.get_config()
+
+
+@pytest.mark.slow
+def test_train_checkpoint_eval_cycle(synthetic_run):
+    from playablevideogeneration_tpu.cli.train import train
+
+    trainer = train(synthetic_run, max_steps=3)
+    assert trainer.global_step == 3
+    # latest checkpoint written
+    latest = os.path.join(synthetic_run["logging"]["save_root_directory"], "latest")
+    assert os.path.isdir(latest)
+
+    # Resuming restores the step and parameters.
+    from playablevideogeneration_tpu.cli.train import build_run
+    from playablevideogeneration_tpu.data.video_dataset import collate
+
+    model, datasets, trainer2, evaluators, logger = build_run(synthetic_run)
+    trainer2.init_state(collate([datasets["train"][0]]))
+    trainer2.load_checkpoint()
+    assert trainer2.global_step == 3
+    p1 = np.asarray(next(iter(
+        trainer.state.params["representation_network"]["conv1"].values())))
+    p2 = np.asarray(next(iter(
+        trainer2.state.params["representation_network"]["conv1"].values())))
+    np.testing.assert_allclose(p1, p2, rtol=1e-6)
+
+    # In-training evaluation produces finite metrics + the action mapping.
+    metrics = evaluators["validation"].evaluate(
+        trainer2.state.variables(), step=3, save_images=True)
+    assert all(np.isfinite(v) for v in metrics.values())
+    mapping = evaluators["validation"].get_best_action_mappings()
+    assert set(mapping.keys()) <= {0, 1, 2}
