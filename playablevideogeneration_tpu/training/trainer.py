@@ -271,7 +271,7 @@ class Trainer:
     def _make_train_step(self, pretraining: bool):
         t = self.config["training"]
         loss_weights = dict(t["loss_weights"])
-        mi_lambda = t["action_mutual_information_entropy_lambda"]
+        mi_lambda = t.get("action_mutual_information_entropy_lambda", 1.0)
         use_motion = t["use_motion_weights"]
         motion_bias = t["motion_weights_bias"]
         mi_alpha = t.get("mutual_information_estimation_alpha", 0.2) \
