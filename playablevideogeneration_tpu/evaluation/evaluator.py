@@ -41,12 +41,22 @@ class Evaluator:
                                      shuffle=False, drop_last=True,
                                      num_workers=b["num_workers"])
         if vgg_variables is None:
-            vgg_variables = vgg_lib.random_vgg_variables(jax.random.PRNGKey(97))
+            from playablevideogeneration_tpu.utils import pretrained
+
+            vgg_variables, _ = pretrained.get_vgg_variables(config)
         self.vgg_apply = vgg_lib.make_vgg_apply(vgg_variables)
         self._jitted = {}
 
     def set_action_sampler(self, action_sampler):
+        """Swaps the action sampler (reference evaluator.py:78-81).
+
+        The jitted forward closes over the sampler, so the jit cache must be
+        invalidated — otherwise the one-hot / ground-truth-action evaluation
+        passes (cli/train.py protocol, reference train.py:99-106) would
+        silently reuse the Gumbel-sampling program.
+        """
         self.action_sampler = action_sampler
+        self._jitted = {}
 
     def get_best_action_mappings(self) -> Dict[int, int]:
         if self.best_action_mappings is None:
@@ -164,22 +174,51 @@ class Evaluator:
         self.logger.print(f"- actions_accuracy: {accuracy:.3f}")
         return log_data
 
+    @staticmethod
+    def _attention_overlay(frames: np.ndarray, attention: np.ndarray) -> np.ndarray:
+        """Overlays a low-res [0, 1] attention map on [-1, 1] frames
+        (reference evaluator.py:314-436 attention rows): the map is
+        nearest-upsampled to frame resolution and modulates brightness."""
+        t, h, w = frames.shape[:3]
+        att = np.asarray(attention)[..., 0]  # (T, h', w')
+        ry, rx = h // att.shape[1], w // att.shape[2]
+        att = np.repeat(np.repeat(att, ry, axis=1), rx, axis=2)[..., None]
+        return frames * att + (1.0 - att) * -1.0  # unattended -> black
+
     def _save_examples(self, batch, out, step: int, max_sequences: int = 4):
-        """Writes ground-truth vs reconstruction image grids
-        (reference evaluator.py:314-436, simplified to side-by-side rows)."""
+        """Writes image grids per sequence: ground truth, reconstruction,
+        GT-attention overlay, reconstructed-attention overlay, and motion
+        weight mask (reference evaluator.py:314-436)."""
         out_dir = self.config["logging"].get("output_images_directory")
         if not out_dir:
             return
         os.makedirs(out_dir, exist_ok=True)
         gt = np.asarray(batch.observations[..., :3])  # (B, T, H, W, 3) in [-1,1]
         rec = np.asarray(out.reconstructed_observations)  # (B, T-1, H, W, 3)
+        attention = np.asarray(out.attention)  # (B, T, h, w, 1) in [0,1]
+        rec_attention = (np.asarray(out.reconstructed_attention)
+                         if out.reconstructed_attention is not None else None)
+        motion = np.asarray(losses.motion_weight_mask(
+            jnp.asarray(gt), jnp.asarray(rec)))  # (B, T, H, W, 1)
+        motion = motion / max(float(motion.max()), 1e-6) * 2.0 - 1.0
+
+        def pad_left(row_frames):
+            return [np.zeros_like(row_frames[0])] + list(row_frames)
+
         n = min(max_sequences, gt.shape[0])
         rows = []
         for b in range(n):
-            gt_row = np.concatenate(list(gt[b]), axis=1)
-            rec_row = np.concatenate(
-                [np.zeros_like(rec[b, 0])] + list(rec[b]), axis=1)
-            rows.append(np.concatenate([gt_row, rec_row], axis=0))
+            seq_rows = [
+                np.concatenate(list(gt[b]), axis=1),
+                np.concatenate(pad_left(rec[b]), axis=1),
+                np.concatenate(list(self._attention_overlay(gt[b], attention[b])),
+                               axis=1),
+                np.concatenate(list(np.repeat(motion[b], 3, axis=-1)), axis=1),
+            ]
+            if rec_attention is not None:
+                seq_rows.insert(3, np.concatenate(pad_left(
+                    self._attention_overlay(rec[b], rec_attention[b])), axis=1))
+            rows.append(np.concatenate(seq_rows, axis=0))
         grid = np.concatenate(rows, axis=0)
         grid = ((np.clip(grid, -1, 1) + 1.0) * 127.5).astype(np.uint8)
         Image.fromarray(grid).save(

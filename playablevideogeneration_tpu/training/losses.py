@@ -133,10 +133,15 @@ def entropy_logits(logits: jnp.ndarray) -> jnp.ndarray:
 
 
 def entropy_probabilities(probabilities: jnp.ndarray) -> jnp.ndarray:
-    """Mean entropy of probability vectors (reference losses.py:359-376)."""
+    """Mean entropy of probability vectors (reference losses.py:359-376).
+
+    Uses xlogy so exact one-hot inputs (produced by the one-hot and
+    ground-truth action samplers during evaluation) yield 0·log 0 = 0
+    instead of NaN.
+    """
     a = probabilities.shape[-1]
     flat = probabilities.reshape((-1, a))
-    return -jnp.sum(flat * jnp.log(flat)) / flat.shape[0]
+    return -jnp.sum(jax.scipy.special.xlogy(flat, flat)) / flat.shape[0]
 
 
 # --------------------------------------------------------------------- #

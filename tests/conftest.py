@@ -1,20 +1,44 @@
 """Test configuration.
 
-Tests run on CPU.  Multi-device sharding is validated on a fake 8-device
-CPU mesh via ``--xla_force_host_platform_device_count`` (SURVEY.md §4) in a
+Tests default to the CPU backend (fast compiles, deterministic numerics);
+set PVG_TEST_PLATFORM=tpu to run the identical suite against the real TPU
+backend — golden-value tolerances are platform-aware.  Multi-device
+sharding is validated on a fake 8-device CPU mesh via
+``--xla_force_host_platform_device_count`` (SURVEY.md §4) in a
 *subprocess* (see test_parallel.py) so the rest of the suite is not slowed
 down by virtual devices.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # Persistent compilation cache: repeated test runs skip XLA recompilation.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compilation_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
+import jax  # noqa: E402
+
+if os.environ.get("PVG_TEST_PLATFORM", "cpu") == "cpu":
+    # jax.config wins over environment-forced platform plugins (some hosts
+    # pin JAX_PLATFORMS to a TPU tunnel in sitecustomize, where eager
+    # many-op test workloads are pathologically slow).
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run tests marked slow (long e2e runs)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow test: pass --runslow to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
 
 
 @pytest.fixture(scope="session")

@@ -68,3 +68,28 @@ def test_train_checkpoint_eval_cycle(synthetic_run):
     assert all(np.isfinite(v) for v in metrics.values())
     mapping = evaluators["validation"].get_best_action_mappings()
     assert set(mapping.keys()) <= {0, 1, 2}
+
+    # Full sampler protocol of cli/train.py (reference train.py:99-106):
+    # Gumbel (None) -> one-hot -> GT-mapped must each recompile against the
+    # new sampler and produce distinct, finite metrics (guards the stale
+    # jit-cache regression).
+    from playablevideogeneration_tpu.evaluation.action_sampler import (
+        make_ground_truth_action_sampler,
+        one_hot_action_sampler,
+    )
+
+    variables = trainer2.state.variables()
+    evaluator = evaluators["validation"]
+    evaluator.set_action_sampler(one_hot_action_sampler)
+    metrics_onehot = evaluator.evaluate(variables, step=3, save_images=False)
+    assert all(np.isfinite(v) for v in metrics_onehot.values())
+    evaluator.set_action_sampler(make_ground_truth_action_sampler(mapping))
+    metrics_gt = evaluator.evaluate(variables, step=3, save_images=False)
+    assert all(np.isfinite(v) for v in metrics_gt.values())
+
+    # One-hot samples have zero entropy; Gumbel soft samples do not.
+    assert metrics_onehot["validation/samples_entropy"] < 1e-5
+    assert metrics["validation/samples_entropy"] > 1e-3
+    # GT-mapped sampling feeds GT actions through the Hungarian mapping, so
+    # the re-matched accuracy is exact by construction.
+    assert metrics_gt["validation/actions_accuracy"] > 0.999
