@@ -29,10 +29,18 @@ def evaluate_dataset(config_dict, **evaluator_kwargs):
     generated_dataset = VideoDataset(
         config_dict["generated_data"]["data_root"], batching, gen_transform)
 
+    # Pretrained metric backbones (LPIPS / FID Inception / FVD I3D / VGG):
+    # resolved from config or PVG_PRETRAINED_WEIGHTS; absent backbones
+    # degrade to '*_unavailable' markers (docs/PRETRAINED_WEIGHTS.md).
+    from playablevideogeneration_tpu.utils import pretrained
+
+    backbones = pretrained.evaluation_backbones(config_dict, logger)
+    backbones.update(evaluator_kwargs)
+
     evaluator_factory = registry.resolve(
         "dataset_evaluator", config_dict["evaluation"]["evaluator"])
     evaluator = evaluator_factory(config_dict, logger, reference_dataset,
-                                  generated_dataset, **evaluator_kwargs)
+                                  generated_dataset, **backbones)
     metrics = evaluator.compute_metrics()
 
     output_dir = config_dict["logging"]["output_directory"]

@@ -74,6 +74,10 @@ class Configuration:
         c["tpu"].setdefault("data_parallel_devices", None)  # None = all
         c["tpu"].setdefault("donate_state", True)
         c["tpu"].setdefault("prefetch_batches", 2)
+        # Pretrained backbone weights (see docs/PRETRAINED_WEIGHTS.md):
+        # directory of canonical .npz files, or per-backbone path overrides.
+        c["tpu"].setdefault("pretrained_weights_dir", None)
+        c["tpu"].setdefault("pretrained_weights", {})
 
         if c["training"]["use_ground_truth_actions"] and not c["data"]["ground_truth_available"]:
             raise ValueError(
@@ -122,6 +126,10 @@ class EvaluationConfiguration:
         log = c["logging"]
         log["output_directory"] = os.path.join(log["output_root"], log["run_name"])
         c["evaluation"].setdefault("max_evaluation_batches", None)
+        c["evaluation"].setdefault("detector", "none")
+        c.setdefault("tpu", {})
+        c["tpu"].setdefault("pretrained_weights_dir", None)
+        c["tpu"].setdefault("pretrained_weights", {})
         return True
 
     def create_directory_structure(self):

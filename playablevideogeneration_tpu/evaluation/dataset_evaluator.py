@@ -100,7 +100,13 @@ class DatasetEvaluator:
         self.lpips_fn = lpips_fn
         self.fid_extractor = fid_extractor
         self.fvd_embedder = fvd_embedder
-        self.detector = detector if detector is not None else TennisPlayerDetector()
+        if detector is None:
+            from playablevideogeneration_tpu.evaluation.metrics.detection import (
+                make_detector,
+            )
+
+            detector = make_detector(config)
+        self.detector = detector
 
         self._frame_metrics_jit = jax.jit(self._compute_frame_metrics)
 

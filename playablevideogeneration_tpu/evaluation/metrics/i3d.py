@@ -67,16 +67,19 @@ class InceptionModule(nn.Module):
 
 
 class I3D(nn.Module):
-    """I3D backbone producing the 1024-dim spatiotemporal embedding used by
-    FVD (averaged features before the logits conv)."""
+    """I3D backbone producing the 400-dim averaged kinetics logits used by
+    FVD (the reference embeds 'RGB/inception_i3d/Mean:0', fvd.py:118-126)."""
 
     dtype: Dtype = jnp.float32
+    # 224 for FVD parity (reference fvd.py:39-56); smaller only for tests.
+    input_size: int = 224
 
     @nn.compact
     def __call__(self, videos):
         """videos: (N, T, H, W, 3) in [0, 1]."""
         n, t = videos.shape[:2]
-        x = jax.image.resize(videos, (n, t, 224, 224, 3), method="linear")
+        s = self.input_size
+        x = jax.image.resize(videos, (n, t, s, s, 3), method="linear")
         x = 2.0 * x - 1.0  # reference fvd.py:39-56 preprocessing
 
         x = Unit3D(64, (7, 7, 7), (2, 2, 2), dtype=self.dtype,
@@ -105,13 +108,43 @@ class I3D(nn.Module):
                             name="Mixed_5b")(x)
         x = InceptionModule(384, 192, 384, 48, 128, 128, dtype=self.dtype,
                             name="Mixed_5c")(x)
-        # Global spatiotemporal average -> (N, 1024)
-        return jnp.mean(x, axis=(1, 2, 3))
+        # Logits head (kinetics-i3d): avg_pool3d window (2, 7, 7) stride 1
+        # VALID, then a 1x1x1 logits conv and a temporal mean — this is the
+        # 'RGB/inception_i3d/Mean:0' tensor the reference FVD embeds
+        # (fvd.py:118-126).  The spatial window adapts for test-size inputs
+        # (it equals the full 7x7 map at the parity input size 224).
+        tw = min(2, x.shape[1])
+        x = nn.avg_pool(x, (tw, x.shape[2], x.shape[3]),
+                        strides=(1, 1, 1), padding="VALID")
+        x = nn.Conv(400, (1, 1, 1), use_bias=True, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="Logits_Conv3d_0c_1x1")(x)
+        return jnp.mean(x, axis=(1, 2, 3))  # (N, 400) averaged logits
+
+
+# TF branch-unit name -> this module's Unit3D name inside InceptionModule.
+_BRANCH_UNIT_MAP = {
+    ("Branch_0", "Conv3d_0a_1x1"): "Branch_0",
+    ("Branch_1", "Conv3d_0a_1x1"): "Branch_1a",
+    ("Branch_1", "Conv3d_0b_3x3"): "Branch_1b",
+    ("Branch_2", "Conv3d_0a_1x1"): "Branch_2a",
+    ("Branch_2", "Conv3d_0b_3x3"): "Branch_2b",
+    ("Branch_3", "Conv3d_0b_1x1"): "Branch_3b",
+}
+# TF leaf name -> (collection, module sublayer, leaf).
+_LEAF_MAP = {
+    ("conv_3d", "w"): ("params", "conv3d", "kernel"),
+    ("conv_3d", "b"): ("params", "conv3d", "bias"),
+    ("batch_norm", "beta"): ("params", "bn", "bias"),
+    ("batch_norm", "moving_mean"): ("batch_stats", "bn", "mean"),
+    ("batch_norm", "moving_variance"): ("batch_stats", "bn", "var"),
+}
 
 
 def convert_tf_i3d(variables_dict) -> dict:
-    """Converts TF-Hub I3D variables ({name: array}) into this module's
-    params/batch_stats.  TF conv kernels are already DHWIO."""
+    """Converts TF-Hub i3d-kinetics-400 variables ({name: array}, names like
+    'RGB/inception_i3d/Mixed_3b/Branch_1/Conv3d_0a_1x1/conv_3d/w') into this
+    module's params/batch_stats.  TF conv kernels are already DHWIO; sonnet
+    BatchNorm stats come shaped (1, 1, 1, 1, C) and are flattened."""
     params: dict = {}
     batch_stats: dict = {}
 
@@ -121,22 +154,29 @@ def convert_tf_i3d(variables_dict) -> dict:
             node = node.setdefault(p, {})
         node[path[-1]] = leaf
 
-    name_map = {"w": ("params", "kernel"), "beta": ("params", "bias"),
-                "moving_mean": ("batch_stats", "mean"),
-                "moving_variance": ("batch_stats", "var")}
     for key, value in variables_dict.items():
         parts = [p for p in key.split("/") if p not in ("RGB", "inception_i3d")]
-        leaf_name = parts[-1]
-        if leaf_name not in name_map:
+        if len(parts) < 3 or (parts[-2], parts[-1]) not in _LEAF_MAP:
             continue
-        collection, new_leaf = name_map[leaf_name]
-        target = params if collection == "params" else batch_stats
-        put(target, parts[:-1] + [new_leaf], np.asarray(value).squeeze())
+        collection, sublayer, leaf = _LEAF_MAP[(parts[-2], parts[-1])]
+        value = np.asarray(value)
+        if parts[-1] != "w":  # bias / BN stats -> (C,)
+            value = value.reshape(-1)
+        scope = parts[:-2]
+        if scope[0] == "Logits":
+            # 'Logits/Conv3d_0c_1x1/conv_3d/{w,b}' -> the flat logits conv.
+            path = ["Logits_Conv3d_0c_1x1", leaf]
+        elif len(scope) == 3:  # Mixed_Xx / Branch_i / Conv3d_0?_...
+            unit = _BRANCH_UNIT_MAP[(scope[1], scope[2])]
+            path = [scope[0], unit, sublayer, leaf]
+        else:  # stem: Conv3d_1a_7x7 etc.
+            path = [scope[0], sublayer, leaf]
+        put(params if collection == "params" else batch_stats, path, value)
     return {"params": params, "batch_stats": batch_stats}
 
 
 def make_fvd_embedder(variables: dict, dtype=jnp.float32):
-    """Returns a jitted (N, T, H, W, 3) in [0,1] -> (N, 1024) embedder."""
+    """Returns a jitted (N, T, H, W, 3) in [0,1] -> (N, 400) embedder."""
     model = I3D(dtype=dtype)
 
     @jax.jit
@@ -146,7 +186,8 @@ def make_fvd_embedder(variables: dict, dtype=jnp.float32):
     return lambda videos: embed(variables, videos)
 
 
-def random_i3d_variables(key, frames: int = 9) -> dict:
-    model = I3D()
+def random_i3d_variables(key, frames: int = 9, input_size: int = 64) -> dict:
+    """Random-init variables (tree shape is independent of input_size)."""
+    model = I3D(input_size=input_size)
     dummy = jnp.zeros((1, frames, 64, 64, 3))
     return model.init({"params": key}, dummy)

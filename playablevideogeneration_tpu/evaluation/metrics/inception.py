@@ -172,15 +172,20 @@ class InceptionE(nn.Module):
 
 
 class InceptionV3FID(nn.Module):
-    """Produces the 2048-dim pool3 activations used for FID."""
+    """Produces the 2048-dim pool3 activations used for FID.
+
+    `input_size` must stay 299 for FID parity (pytorch_fid resize_input);
+    smaller values exist for cheap shape/smoke tests only.
+    """
 
     dtype: Dtype = jnp.float32
+    input_size: int = 299
 
     @nn.compact
     def __call__(self, x):
         """x: (N, H, W, 3) in [0, 1]."""
-        n = x.shape[0]
-        x = jax.image.resize(x, (n, 299, 299, 3), method="linear")
+        n, s = x.shape[0], self.input_size
+        x = jax.image.resize(x, (n, s, s, 3), method="linear")
         x = 2.0 * x - 1.0  # pytorch_fid normalize_input
 
         x = BasicConv(32, (3, 3), strides=(2, 2), dtype=self.dtype,
@@ -208,7 +213,9 @@ class InceptionV3FID(nn.Module):
 
 def convert_torch_inception(state_dict) -> dict:
     """Converts a pytorch_fid InceptionV3 state_dict into this module's
-    params (OIHW -> HWIO conv kernels; BN running stats -> batch_stats)."""
+    params (OIHW -> HWIO conv kernels; BN running stats -> batch_stats).
+    The classifier head (`fc.*`, 1008-way in the TF-ported checkpoint) is
+    kept under params['fc'] for the Inception Score; FID ignores it."""
     params: dict = {}
     batch_stats: dict = {}
 
@@ -222,7 +229,12 @@ def convert_torch_inception(state_dict) -> dict:
         value = np.asarray(value)
         parts = key.split(".")
         # torch names: Mixed_5b.branch1x1.conv.weight etc.
-        if parts[-2] == "conv" and parts[-1] == "weight":
+        if parts[0] == "fc":
+            # torch Linear stores (out, in); flax Dense wants (in, out).
+            leaf = value.T if parts[-1] == "weight" else value
+            put(params, ["fc", "kernel" if parts[-1] == "weight" else "bias"],
+                leaf)
+        elif parts[-2] == "conv" and parts[-1] == "weight":
             put(params, parts[:-1] + ["kernel"], np.transpose(value, (2, 3, 1, 0)))
         elif parts[-2] == "bn":
             if parts[-1] == "weight":
@@ -251,3 +263,44 @@ def random_inception_variables(key) -> dict:
     model = InceptionV3FID()
     dummy = jnp.zeros((1, 299, 299, 3))
     return model.init({"params": key}, dummy)
+
+
+# --------------------------------------------------------------------- #
+# Inception Score                                                       #
+# --------------------------------------------------------------------- #
+
+
+def make_class_probability_fn(variables: dict, dtype=jnp.float32):
+    """(N, H, W, 3) in [0,1] -> (N, classes) softmax class probabilities:
+    the FID pool3 features followed by the checkpoint's classifier head
+    (reference evaluation/metrics/inception_score.py:17-65)."""
+    if "fc" not in variables["params"]:
+        raise ValueError("Checkpoint has no classifier head ('fc') — "
+                         "convert with tools/convert_weights.py fid-inception")
+    model = InceptionV3FID(dtype=dtype)
+    backbone = {"params": {k: v for k, v in variables["params"].items()
+                           if k != "fc"},
+                "batch_stats": variables["batch_stats"]}
+    kernel = jnp.asarray(variables["params"]["fc"]["kernel"])
+    bias = jnp.asarray(variables["params"]["fc"]["bias"])
+
+    @jax.jit
+    def probs(backbone, kernel, bias, x):
+        features = model.apply(backbone, jnp.asarray(x, jnp.float32))
+        return jax.nn.softmax(features @ kernel + bias, axis=-1)
+
+    return lambda x: probs(backbone, kernel, bias, x)
+
+
+def inception_score(class_probabilities: np.ndarray,
+                    splits: int = 10) -> tuple:
+    """Standard IS: exp(E_x KL(p(y|x) || p(y))), averaged over splits
+    (reference inception_score.py:36-60).  Returns (mean, std)."""
+    probs = np.asarray(class_probabilities, np.float64)
+    n = probs.shape[0]
+    scores = []
+    for part in np.array_split(probs, min(splits, n)):
+        marginal = part.mean(axis=0, keepdims=True)
+        kl = part * (np.log(part + 1e-12) - np.log(marginal + 1e-12))
+        scores.append(np.exp(kl.sum(axis=1).mean()))
+    return float(np.mean(scores)), float(np.std(scores))

@@ -160,7 +160,17 @@ def compute_loss_terms(
     diag = {k: jax.lax.stop_gradient(v) for k, v in diag.items()}
     info.update(diag)
 
-    aux = dict(mutated=mutated, new_mi_matrix=new_mi_matrix, info=info)
+    # Arrays for the action-space plots (reference trainer.py:543-548);
+    # only materialized by the plotting variant of the train step.
+    plot_arrays = jax.lax.stop_gradient(dict(
+        action_directions_distribution=out.action_directions_distribution,
+        action_probabilities=p_real,
+        action_states_distribution=out.action_states_distribution,
+        centroids=centroids,
+    ))
+
+    aux = dict(mutated=mutated, new_mi_matrix=new_mi_matrix, info=info,
+               plot_arrays=plot_arrays)
     return total, aux
 
 
@@ -185,10 +195,15 @@ class Trainer:
         self._batch_sharded = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
 
         if vgg_variables is None:
-            vgg_variables = vgg_lib.random_vgg_variables(jax.random.PRNGKey(97))
-            self.logger.print(
-                "[trainer] WARNING: no pretrained VGG weights provided; "
-                "perceptual loss uses random VGG19 features")
+            from playablevideogeneration_tpu.utils import pretrained
+
+            vgg_variables, vgg_pretrained = pretrained.get_vgg_variables(
+                config, logger)
+            if not vgg_pretrained:
+                self.logger.print(
+                    "[trainer] WARNING: no pretrained VGG weights provided; "
+                    "perceptual loss uses random VGG19 features "
+                    "(see docs/PRETRAINED_WEIGHTS.md)")
         # VGG params are threaded through the jitted step as an ARGUMENT:
         # closure capture would bake ~MBs of weights into the lowered module
         # as inline constants (pathological lowering time).
@@ -201,12 +216,20 @@ class Trainer:
             drop_last=True,
             num_workers=t["batching"]["num_workers"],
             prefetch=config.get("tpu", {}).get("prefetch_batches", 2),
+            worker_mode=t["batching"].get("worker_mode", "thread"),
+            shard_index=jax.process_index(),
+            shard_count=jax.process_count(),
         )
 
         self._rng = jax.random.PRNGKey(config.get("seed", 0))
         self._jitted: Dict[Tuple[int, bool], Any] = {}
         self.average_meter = AverageMeter()
         self.state: Optional[TrainState] = None
+        # jax.profiler trace window (SURVEY.md §5 tracing): set
+        # tpu.profile_dir (or PVG_PROFILE_DIR) to capture steps 10..15.
+        self.profile_dir = (config.get("tpu", {}).get("profile_dir")
+                            or os.environ.get("PVG_PROFILE_DIR"))
+        self._profiling = False
 
     # ------------------------------------------------------------------ #
     # State init / checkpointing                                          #
@@ -268,7 +291,7 @@ class Trainer:
     # Jitted step                                                         #
     # ------------------------------------------------------------------ #
 
-    def _make_train_step(self, pretraining: bool):
+    def _make_train_step(self, pretraining: bool, with_plot_arrays: bool = False):
         t = self.config["training"]
         loss_weights = dict(t["loss_weights"])
         mi_lambda = t.get("action_mutual_information_entropy_lambda", 1.0)
@@ -312,16 +335,54 @@ class Trainer:
             )
             metrics = dict(aux["info"])
             metrics["loss"] = loss
+            # Gradient-norm observability (wandb.watch equivalent,
+            # reference train.py:70): global + per-subnetwork L2 norms.
+            def _sq_sum(tree):
+                return sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                           for g in jax.tree.leaves(tree))
+
+            metrics["grad_norm/global"] = jnp.sqrt(_sq_sum(grads))
+            for module_name, module_grads in grads.items():
+                metrics[f"grad_norm/{module_name}"] = jnp.sqrt(
+                    _sq_sum(module_grads))
+            if with_plot_arrays:
+                metrics["_plot_arrays"] = aux["plot_arrays"]
             return new_state, metrics
 
         donate = (0,) if self.config.get("tpu", {}).get("donate_state", True) else ()
         return jax.jit(train_step, donate_argnums=donate)
 
-    def _get_train_step(self, observations_count: int, pretraining: bool):
-        key = (observations_count, pretraining)
+    def _get_train_step(self, observations_count: int, pretraining: bool,
+                        with_plot_arrays: bool = False):
+        key = (observations_count, pretraining, with_plot_arrays)
         if key not in self._jitted:
-            self._jitted[key] = self._make_train_step(pretraining)
+            self._jitted[key] = self._make_train_step(pretraining,
+                                                      with_plot_arrays)
         return self._jitted[key]
+
+    # ------------------------------------------------------------------ #
+    # Action-space plots                                                  #
+    # ------------------------------------------------------------------ #
+
+    def _plot_action_space(self, arrays):
+        """TSNE direction-space + action-state trajectory plots every
+        `action_direction_plotting_freq` steps (reference
+        trainer.py:543-548, utils/tensor_displayer.py:50-167)."""
+        out_dir = self.config["logging"].get("output_images_directory")
+        if not out_dir:
+            return
+        from playablevideogeneration_tpu.utils import tensor_displayer
+
+        os.makedirs(out_dir, exist_ok=True)
+        step = self.global_step
+        tensor_displayer.show_action_directions(
+            arrays["centroids"], arrays["action_directions_distribution"],
+            arrays["action_probabilities"],
+            os.path.join(out_dir, f"action_directions_{step}.png"))
+        tensor_displayer.show_action_states(
+            arrays["action_states_distribution"],
+            arrays["action_probabilities"],
+            os.path.join(out_dir, f"action_states_{step}.png"))
 
     # ------------------------------------------------------------------ #
     # Epoch loop                                                          #
@@ -352,18 +413,40 @@ class Trainer:
             gt_init = min(gt_init, observations_count - 1)
             gumbel_t = self.get_gumbel_temperature()
 
+            if self.profile_dir and self.global_step == 10 and not self._profiling:
+                jax.profiler.start_trace(self.profile_dir)
+                self._profiling = True
+            elif self._profiling and self.global_step >= 15:
+                jax.profiler.stop_trace()
+                self._profiling = False
+                self.logger.print(f"- Wrote profiler trace to {self.profile_dir}")
+
             rng, self._rng = jax.random.split(self._rng)
-            step_fn = self._get_train_step(observations_count, pretraining)
-            obs = jax.device_put(batch.observations, self._batch_sharded)
-            acts = jax.device_put(batch.actions, self._batch_sharded)
+            plot_freq = self.config["training"]["action_direction_plotting_freq"]
+            want_plots = bool(plot_freq) and self.global_step % plot_freq == 0
+            step_fn = self._get_train_step(observations_count, pretraining,
+                                           with_plot_arrays=want_plots)
+            obs = mesh_lib.put_batch(self.mesh, batch.observations)
+            acts = mesh_lib.put_batch(self.mesh, batch.actions)
 
             start = time.perf_counter()
             self.state, metrics = step_fn(
                 self.state, obs, acts,
                 jnp.asarray(gt_init, jnp.int32),
                 jnp.asarray(gumbel_t, jnp.float32), rng, self.vgg_variables)
-            metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            metrics = jax.device_get(metrics)
+            if want_plots:
+                self._plot_action_space(metrics.pop("_plot_arrays"))
+            metrics = {k: float(v) for k, v in metrics.items()}
             metrics["step_time"] = time.perf_counter() - start
+            # Device memory observability (reference MemoryDisplayer,
+            # utils/memory_displayer.py:10-21).
+            try:
+                stats = jax.local_devices()[0].memory_stats() or {}
+                if "bytes_in_use" in stats:
+                    metrics["device_memory_mb"] = stats["bytes_in_use"] / 2**20
+            except Exception:
+                pass
             metrics["ground_truth_observations"] = gt_init
             metrics["gumbel_temperature"] = gumbel_t
             metrics["observations_count"] = observations_count
