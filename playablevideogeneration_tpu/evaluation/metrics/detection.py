@@ -87,26 +87,129 @@ def detection_metric(reference_detections: np.ndarray,
     return results
 
 
-class TennisPlayerDetector:
-    """Pluggable tennis player detector interface.
+# Court-region box filters, expressed as fractions of (W, H) so they work
+# at any resolution.  Derived from the reference's hard-coded pixel rules
+# for its 256x96 tennis frames (tennis_player_detector.py:34-47): exclude
+# the upper-left scoreboard (x2 <= 60, y1 <= 26), the upper-right overlay
+# (x1 >= 200, y1 <= 26), and spectator heads low in the frame (y1 > 80).
+DEFAULT_COURT_FILTER = {
+    "upper_left": (60 / 256, 26 / 96),
+    "upper_right": (200 / 256, 26 / 96),
+    "max_top": 80 / 96,
+}
 
-    The reference uses a torchvision Faster R-CNN ResNet50-FPN 'person'
-    detector with court-region filtering (tennis_player_detector.py:14-108).
-    Pretrained weights cannot be downloaded in this environment; provide a
-    `backend` callable (B, T, H, W, C) -> (B, T, 2) to enable detection, or
-    detections are reported as failures (-1) and detection metrics carry a
-    'detector_unavailable' marker.
+
+def court_box_filter(box, width: int, height: int,
+                     rules: Dict = DEFAULT_COURT_FILTER) -> bool:
+    """Reference check_box_boundaries semantics on an (x1, y1, x2, y2) box."""
+    x1, y1, x2, _ = box
+    ulx, uly = rules["upper_left"]
+    if x2 <= ulx * width and y1 <= uly * height:
+        return False
+    urx, ury = rules["upper_right"]
+    if x1 >= urx * width and y1 <= ury * height:
+        return False
+    if y1 > rules["max_top"] * height:
+        return False
+    return True
+
+
+def select_player_center(boxes, width: int, height: int,
+                         rules: Dict = DEFAULT_COURT_FILTER):
+    """Applies the court filter and returns the center of the TALLEST
+    surviving box, or (-1, -1) (reference tennis_player_detector.py:85-107)."""
+    matches = [(b[3] - b[1], b) for b in boxes
+               if court_box_filter(b, width, height, rules)]
+    if not matches:
+        return (-1.0, -1.0)
+    matches.sort(key=lambda m: m[0])
+    box = matches[-1][1]
+    return ((box[0] + box[2]) / 2.0, (box[1] + box[3]) / 2.0)
+
+
+def motion_blob_boxes(frames: np.ndarray, threshold: float = 0.15,
+                      min_area: int = 12) -> list:
+    """Weight-free person-box proposals from motion saliency.
+
+    Tennis footage has a static camera and a moving player; foreground
+    blobs against the per-sequence median background are box proposals.
+    This replaces the reference's pretrained Faster R-CNN proposals
+    (tennis_player_detector.py:14-16) in environments without downloadable
+    weights; a converted detector can be plugged in via `backend` for
+    higher fidelity.
+
+    :param frames: (T, H, W, C) in [0, 1]
+    :return: list over T of lists of (x1, y1, x2, y2) boxes
+    """
+    from scipy import ndimage
+
+    background = np.median(frames, axis=0)
+    saliency = np.abs(frames - background).sum(axis=-1)  # (T, H, W)
+    all_boxes = []
+    for t in range(frames.shape[0]):
+        mask = saliency[t] > threshold
+        labels, count = ndimage.label(mask)
+        boxes = []
+        for slice_y, slice_x in ndimage.find_objects(labels):
+            area = (slice_y.stop - slice_y.start) * (slice_x.stop - slice_x.start)
+            if area >= min_area:
+                boxes.append((float(slice_x.start), float(slice_y.start),
+                              float(slice_x.stop), float(slice_y.stop)))
+        all_boxes.append(boxes)
+    return all_boxes
+
+
+class TennisPlayerDetector:
+    """Pluggable tennis player detector.
+
+    The reference is a torchvision Faster R-CNN ResNet50-FPN 'person'
+    detector whose boxes pass a court-region filter and a tallest-box
+    selection (tennis_player_detector.py:14-108).  Here the box-proposal
+    stage is pluggable while the filter/selection logic is shared:
+
+    - ``backend='blob'`` (or ``motion_blob_boxes``): weight-free motion
+      saliency proposals — works out of the box on static-camera footage;
+    - ``backend=<callable>``: any (T, H, W, C) -> [[boxes]] proposer (e.g.
+      a converted neural detector);
+    - ``backend=None``: detection unavailable; every frame reports (-1, -1)
+      and metrics carry a 'detector_unavailable' marker.
     """
 
-    def __init__(self, backend: Optional[callable] = None):
+    def __init__(self, backend=None, rules: Dict = DEFAULT_COURT_FILTER):
+        if backend == "blob":
+            backend = motion_blob_boxes
         self.backend = backend
+        self.rules = rules
 
     @property
     def available(self) -> bool:
         return self.backend is not None
 
     def __call__(self, observations: np.ndarray) -> np.ndarray:
-        if self.backend is not None:
-            return np.asarray(self.backend(observations))
-        b, t = observations.shape[:2]
-        return np.full((b, t, 2), -1.0)
+        b, t, h, w = observations.shape[:4]
+        if self.backend is None:
+            return np.full((b, t, 2), -1.0)
+        centers = np.full((b, t, 2), -1.0)
+        for seq in range(b):
+            proposals = self.backend(observations[seq])
+            for obs in range(t):
+                centers[seq, obs] = select_player_center(
+                    proposals[obs], w, h, self.rules)
+        return centers
+
+
+def make_detector(config) -> TennisPlayerDetector:
+    """Config-selectable detector backend.
+
+    YAML: ``evaluation.detector: none | blob | <module>:<callable>``.
+    """
+    spec = (config.get("evaluation", {}) or {}).get("detector", "none")
+    if spec in (None, "none"):
+        return TennisPlayerDetector()
+    if spec == "blob":
+        return TennisPlayerDetector(backend="blob")
+    module_name, _, attr = str(spec).partition(":")
+    import importlib
+
+    return TennisPlayerDetector(backend=getattr(
+        importlib.import_module(module_name), attr))
