@@ -147,3 +147,37 @@ def test_positional_statistics():
     assert r["m/0"] == 2.0 and r["m/1"] == 3.0
     assert r["m/avg"] == 2.5
     assert r["m/0/var"] == 1.0
+
+
+def test_inception_score_bounds():
+    from playablevideogeneration_tpu.evaluation.metrics.inception import (
+        inception_score,
+    )
+
+    # Uniform conditionals equal the marginal -> IS = 1.
+    uniform = np.full((40, 5), 0.2)
+    mean, std = inception_score(uniform, splits=2)
+    assert np.isclose(mean, 1.0, atol=1e-6)
+    # Confident, balanced conditionals -> IS = number of classes.
+    eye = np.tile(np.eye(5), (8, 1))
+    mean, _ = inception_score(eye, splits=2)
+    assert np.isclose(mean, 5.0, rtol=1e-3)
+
+
+def test_results_plotter_curves(tmp_path):
+    import yaml
+
+    from playablevideogeneration_tpu.evaluation.plotting import results_plotter
+
+    results = {"mse/avg": 0.5, "mse/0": 0.1, "mse/1": 0.2, "mse/2": 0.3,
+               "psnr/0": 30.0}
+    path = str(tmp_path / "data.yml")
+    yaml.safe_dump(results, open(path, "w"))
+    curve = results_plotter.positional_curve(results, "mse")
+    np.testing.assert_allclose(curve, [0.1, 0.2, 0.3])
+    assert results_plotter.positional_curve(results, "ssim") is None
+
+    out = str(tmp_path / "plots")
+    results_plotter.plot_metric_curves([path], ["run"], ["mse", "psnr"], out)
+    import os
+    assert os.path.isfile(os.path.join(out, "mse.pdf"))
