@@ -224,17 +224,17 @@ class ConvLSTMCell(nn.Module):
 
     @nn.compact
     def __call__(self, carry: Tuple[jnp.ndarray, jnp.ndarray], x: jnp.ndarray):
+        from playablevideogeneration_tpu.ops.pallas.convlstm_gates import (
+            fused_lstm_gates,
+        )
+
         h, c = carry
         z = jnp.concatenate([x, h], axis=-1)
         gates = nn.Conv(4 * self.out_planes, (3, 3), use_bias=True, dtype=self.dtype,
                         param_dtype=jnp.float32, name="gates")(z)
-        i, f, o, g = jnp.split(gates, 4, axis=-1)
-        i = nn.sigmoid(i)
-        f = nn.sigmoid(f)
-        o = nn.sigmoid(o)
-        g = jnp.tanh(g)
-        new_c = f * c + i * g
-        new_h = o * jnp.tanh(new_c)
+        # Post-conv gate update: one fused Pallas VPU pass on TPU, the
+        # equivalent jnp chain elsewhere (ops/pallas/convlstm_gates.py).
+        new_h, new_c = fused_lstm_gates(gates, c)
         return (new_h, new_c), new_h
 
 
