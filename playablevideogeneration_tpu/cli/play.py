@@ -104,7 +104,9 @@ def interactive_loop(session: PlaySession, logger: Logger, output_dir: str,
         if not 0 <= action < actions_count:
             continue
         start = time.perf_counter()
-        frame = session.generate_next(action)
+        # Device-side uint8 conversion: the interactive path is bounded by
+        # the frame readback, not the model compute.
+        frame = session.generate_next_u8(action)
         latency = (time.perf_counter() - start) * 1000
         frames.append(frame)
         actions.append(action)

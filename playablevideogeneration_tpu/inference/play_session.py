@@ -38,14 +38,33 @@ class PlaySession:
 
         self._step = jax.jit(step)
 
+        def step_u8(variables, carry, window, action_onehot, variation):
+            """Interactive step emitting a display-ready uint8 frame: the
+            [-1,1]->uint8 conversion runs on device so the host readback
+            moves 3 bytes/pixel instead of 12 (the readback, not the
+            compute, bounds interactive latency)."""
+            carry, frame, window = model_ref.apply(
+                variables, carry, window, action_onehot, variation,
+                method="play_step")
+            u8 = ((jnp.clip(frame, -1.0, 1.0) + 1.0) * 127.5).astype(jnp.uint8)
+            return carry, u8, window
+
+        self._step_u8 = jax.jit(step_u8)
+
         def rollout(variables, carry, window, action_onehots, variations):
+            """N-frame scripted rollout as ONE device program: the scan
+            keeps every intermediate frame on device and the host reads
+            back a single (N, H, W, 3) uint8 buffer — amortizing the
+            per-transfer cost that dominates frame-by-frame generation."""
             def body(c, x):
                 carry, window = c
                 action, variation = x
                 carry, frame, window = model_ref.apply(
                     variables, carry, window, action[None], variation[None],
                     method="play_step")
-                return (carry, window), frame[0]
+                u8 = ((jnp.clip(frame[0], -1.0, 1.0) + 1.0) * 127.5
+                      ).astype(jnp.uint8)
+                return (carry, window), u8
 
             (carry, window), frames = jax.lax.scan(
                 body, (carry, window), (action_onehots, variations))
@@ -59,7 +78,8 @@ class PlaySession:
         """Begins a session from an initial stacked observation
         (H, W, 3*stacking) in [-1, 1] (reference model.py:561-568)."""
         self.carry = self.model.apply(self.variables, 1, method="init_play")
-        self.window = jnp.asarray(observation)[None]
+        # Model dtype keeps the rollout scan carry type invariant.
+        self.window = jnp.asarray(observation)[None].astype(self.model.dtype)
         return self
 
     def _variation(self) -> jnp.ndarray:
@@ -75,6 +95,16 @@ class PlaySession:
         self.carry, frame, self.window = self._step(
             self.variables, self.carry, self.window, onehot, self._variation())
         return np.asarray(frame[0])
+
+    def generate_next_u8(self, action: int, block: bool = True):
+        """One interactive step returning a display-ready (H, W, 3) uint8
+        frame.  With block=False the device array is returned immediately
+        (use `np.asarray` later) so the readback can overlap the next
+        step's compute — double-buffered interactive display."""
+        onehot = jax.nn.one_hot(jnp.asarray([action]), self.actions_count)
+        self.carry, frame, self.window = self._step_u8(
+            self.variables, self.carry, self.window, onehot, self._variation())
+        return np.asarray(frame[0]) if block else frame[0]
 
     def generate_next_interpolation(self, first_action: int, second_action: int,
                                     interpolation_factor: float) -> np.ndarray:
@@ -92,7 +122,7 @@ class PlaySession:
 
     def rollout(self, actions: np.ndarray) -> np.ndarray:
         """Scripted rollout of N actions as one `lax.scan` program;
-        returns (N, H, W, 3) frames."""
+        returns (N, H, W, 3) uint8 frames (single device->host transfer)."""
         onehots = jax.nn.one_hot(jnp.asarray(actions), self.actions_count)
         variations = jnp.zeros((len(actions), self.action_space_dimension))
         self.carry, self.window, frames = self._rollout(
@@ -101,5 +131,9 @@ class PlaySession:
 
 
 def frame_to_uint8(frame: np.ndarray) -> np.ndarray:
-    """[-1, 1] float frame -> uint8 RGB."""
+    """[-1, 1] float frame -> uint8 RGB (no-op for already-uint8 frames
+    produced by the device-side conversion paths)."""
+    frame = np.asarray(frame)
+    if frame.dtype == np.uint8:
+        return frame
     return ((np.clip(frame, -1.0, 1.0) + 1.0) * 127.5).astype(np.uint8)
