@@ -1,19 +1,46 @@
 """Host input pipeline: shuffling, batching, prefetching loader.
 
 TPU-native replacement for the reference's torch DataLoader
-(training/trainer.py:39): worker threads decode/transform frames and
-collate batches ahead of the training loop, optionally transferring them to
-device (overlapping host decode with device compute).
+(training/trainer.py:39): workers decode/transform frames and collate
+batches ahead of the training loop, optionally transferring them to device
+(overlapping host decode with device compute).
+
+Two decode backends:
+- ``worker_mode="thread"``: in-process threads — zero IPC cost, but PNG
+  decode holds the GIL, so throughput caps at ~1 core;
+- ``worker_mode="process"``: a fork-based worker pool matching the
+  reference's multi-process loader (reference trainer.py:39 num_workers
+  processes) — scales decode across cores for real-data training.
+  Process batches carry no Video back-references (arrays only).
+
+Multi-host: pass (shard_index, shard_count) = (jax.process_index(),
+jax.process_count()); every process shuffles with the same seed and takes a
+disjoint strided slice of the epoch.
 """
 from __future__ import annotations
 
+import itertools
 import queue
 import threading
+from collections import deque
 from typing import Iterator, Optional
 
 import numpy as np
 
 from playablevideogeneration_tpu.data.video_dataset import Batch, VideoDataset, collate
+
+# Dataset handle inherited by fork()ed pool workers (set right before the
+# pool is created; fork snapshots it without pickling the dataset).
+_FORK_DATASET: Optional[VideoDataset] = None
+
+
+def _collate_indices_arrays_only(idxs) -> Batch:
+    batch = collate([_FORK_DATASET[int(j)] for j in idxs])
+    # Video back-references don't cross the process boundary (they would
+    # pickle decoded frames); training consumes arrays only.
+    return Batch(observations=batch.observations, actions=batch.actions,
+                 rewards=batch.rewards, dones=batch.dones,
+                 videos=[], initial_frames=batch.initial_frames)
 
 
 class DataLoader:
@@ -25,31 +52,64 @@ class DataLoader:
 
     def __init__(self, dataset: VideoDataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 2,
-                 prefetch: int = 2, seed: int = 0):
+                 prefetch: int = 2, seed: int = 0, worker_mode: str = "thread",
+                 shard_index: int = 0, shard_count: int = 1):
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"Unknown worker_mode '{worker_mode}'")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
+        self.worker_mode = worker_mode
+        self.shard_index = shard_index
+        self.shard_count = max(1, shard_count)
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.shard_count
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _batch_indices(self):
         indices = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(indices)
+        if self.shard_count > 1:
+            # Same-seed shuffle on every process -> disjoint strided shards.
+            indices = indices[self.shard_index::self.shard_count]
         limit = (len(indices) // self.batch_size) * self.batch_size \
             if self.drop_last else len(indices)
         for start in range(0, limit, self.batch_size):
             yield indices[start : start + self.batch_size]
 
+    def _iter_process(self, batches) -> Iterator[Batch]:
+        """Fork-based pool decode with bounded in-flight batches."""
+        import multiprocessing as mp
+
+        global _FORK_DATASET
+        _FORK_DATASET = self.dataset
+        ctx = mp.get_context("fork")
+        max_ahead = self.prefetch + self.num_workers
+        it = iter(batches)
+        with ctx.Pool(self.num_workers) as pool:
+            pending = deque(
+                pool.apply_async(_collate_indices_arrays_only, (idxs.tolist(),))
+                for idxs in itertools.islice(it, max_ahead))
+            while pending:
+                batch = pending.popleft().get()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(pool.apply_async(
+                        _collate_indices_arrays_only, (nxt.tolist(),)))
+                yield batch
+
     def __iter__(self) -> Iterator[Batch]:
         batches = list(self._batch_indices())
         if not batches:
+            return
+        if self.worker_mode == "process":
+            yield from self._iter_process(batches)
             return
         task_q: "queue.Queue" = queue.Queue()
         results = {}

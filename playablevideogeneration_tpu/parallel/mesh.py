@@ -54,3 +54,17 @@ def replicate(mesh: Mesh, tree):
     """Replicates a pytree (params / optimizer / EMA state) on every device."""
     sharding = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def put_batch(mesh: Mesh, array):
+    """Places one host batch array with the batch axis sharded on 'data'.
+
+    Single-process: a plain sharded transfer.  Multi-host (DCN, SURVEY.md
+    §2.6): each process contributes its local shard of the global batch via
+    `make_array_from_process_local_data` — the global batch size is
+    per-process batch × process count.
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(array, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(array))
