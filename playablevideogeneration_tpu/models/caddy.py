@@ -56,6 +56,10 @@ class Caddy(nn.Module):
     centroid_alpha: float = 0.1
     ensemble_size: int = 1
     rendering_widths: Optional[Tuple[int, int, int]] = None
+    # Detach the dynamics input states during pretraining so no gradient
+    # flows from the dynamics into the representation network (reference
+    # model.py:33,425-431; the full forward forbids it, model.py:354).
+    pretraining_detach: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -198,6 +202,11 @@ class Caddy(nn.Module):
                            variation_sampler: Optional[VariationSampler] = None,
                            train: bool = True, ensemble_index: int = 0) -> ModelOutput:
         """Autoregressive forward (reference model.py:84-287)."""
+        if self.pretraining_detach:
+            # Parity with reference model.py:354: the autoregressive model
+            # does not support detached pretraining states.
+            raise NotImplementedError(
+                "pretraining_detach is not supported by the full model")
         B, T = observations.shape[:2]
         front = self._encode_and_act(observations, actions, gumbel_temperature,
                                      train, action_sampler, variation_sampler,
@@ -309,8 +318,13 @@ class Caddy(nn.Module):
 
         # Dynamics over GT states only (reference model.py:422-443).
         carry0 = self.dynamics_network.init_carry(B)
+        input_states = states[:, :-1]
+        if self.pretraining_detach:
+            # No gradient from the dynamics network into the representation
+            # network (reference model.py:425-431).
+            input_states = jax.lax.stop_gradient(input_states)
         xs = dict(
-            state=tops.time_major(states[:, :-1]),
+            state=tops.time_major(input_states),
             action=tops.time_major(front["action_samples"]).astype(self.dtype),
             variation=tops.time_major(front["variations"]).astype(self.dtype),
         )
@@ -417,6 +431,12 @@ def init_model_variables(model: Caddy, rng: jax.Array, observations: jnp.ndarray
 
 def _model_from_config(config, rendering_widths=None) -> Caddy:
     m = config["model"]
+    if config["training"].get("use_ground_truth_actions"):
+        # Parity with reference model.py:182-184,387-388: training on ground
+        # truth actions would produce meaningless variation vectors.
+        raise NotImplementedError(
+            "use_ground_truth_actions during training is not supported by "
+            "the selected model")
     dtype = jnp.bfloat16 if config.get("tpu", {}).get("compute_dtype") == "bfloat16" \
         else jnp.float32
     return Caddy(
@@ -432,6 +452,7 @@ def _model_from_config(config, rendering_widths=None) -> Caddy:
         centroid_alpha=m["centroid_estimator"]["alpha"],
         ensemble_size=m["action_network"]["ensamble_size"],
         rendering_widths=rendering_widths,
+        pretraining_detach=config["training"].get("pretraining_detach", False),
         dtype=dtype,
     )
 

@@ -194,3 +194,42 @@ def test_centroid_variations_formula():
     expected = (np.asarray(assign)[:, :, None]
                 * (np.asarray(points)[:, None, :] - np.asarray(cents)[None])).sum(1)
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-4, atol=1e-6)
+
+
+def test_pretraining_detach_blocks_dynamics_gradients(tiny_model, tiny_variables):
+    """pretraining_detach stops the dynamics->representation gradient path
+    (reference model.py:425-431) and is rejected by the full forward
+    (reference model.py:354)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    detached = dataclasses.replace(tiny_model, pretraining_detach=True)
+    obs = jnp.ones((2, 4, 32, 32, 6)) * 0.1
+    acts = jnp.zeros((2, 4), jnp.int32)
+
+    def hidden_grad(model):
+        def loss(params):
+            variables = dict(tiny_variables, params=params)
+            out = model.apply(variables, obs, acts, 1, pretraining=True,
+                              train=False, rngs={"sample": jax.random.PRNGKey(0)})
+            return jnp.sum(out.hidden_states ** 2)
+
+        return jax.grad(loss)(tiny_variables["params"])
+
+    g_plain = hidden_grad(tiny_model)
+    g_detached = hidden_grad(detached)
+    # The representation gradients must change when the dynamics state path
+    # is detached (the action-sample path remains).
+    diff = jax.tree_util.tree_reduce(
+        lambda acc, t: acc + float(jnp.abs(t).sum()),
+        jax.tree.map(lambda a, b: a - b,
+                     g_plain["representation_network"],
+                     g_detached["representation_network"]), 0.0)
+    assert diff > 0.0
+
+    with pytest.raises(NotImplementedError):
+        detached.apply(tiny_variables, obs, acts, 1, pretraining=False,
+                       train=False, rngs={"sample": jax.random.PRNGKey(0)})
