@@ -144,3 +144,54 @@ def test_splitter_flat_and_splitted(tmp_path):
     splits = generate_splits(config)
     assert splits["train"][0].endswith("train")
     assert splits["validation"][0].endswith("val")
+
+
+def test_loader_process_mode_matches_thread_mode(synthetic_dataset_dir):
+    import numpy as np
+
+    from playablevideogeneration_tpu.data.loader import DataLoader
+    from playablevideogeneration_tpu.data.transforms import make_train_transform
+    from playablevideogeneration_tpu.data.video_dataset import VideoDataset
+
+    batching = {"batch_size": 2, "observations_count": 4, "skip_frames": 0,
+                "observation_stacking": 1, "num_workers": 2}
+    transform = make_train_transform(None, (32, 32))
+    dataset = VideoDataset(synthetic_dataset_dir + "/train", batching, transform)
+
+    def batches(mode):
+        loader = DataLoader(dataset, batch_size=2, shuffle=False,
+                            drop_last=True, num_workers=2, worker_mode=mode)
+        return list(loader)
+
+    thread_batches = batches("thread")
+    process_batches = batches("process")
+    assert len(thread_batches) == len(process_batches) > 0
+    for tb, pb in zip(thread_batches, process_batches):
+        np.testing.assert_array_equal(tb.observations, pb.observations)
+        np.testing.assert_array_equal(tb.actions, pb.actions)
+        assert pb.videos == []  # arrays only across the process boundary
+
+
+def test_loader_process_sharding_is_disjoint_and_complete(synthetic_dataset_dir):
+    import numpy as np
+
+    from playablevideogeneration_tpu.data.loader import DataLoader
+    from playablevideogeneration_tpu.data.transforms import make_train_transform
+    from playablevideogeneration_tpu.data.video_dataset import VideoDataset
+
+    batching = {"batch_size": 1, "observations_count": 4, "skip_frames": 0,
+                "observation_stacking": 1, "num_workers": 1}
+    transform = make_train_transform(None, (32, 32))
+    dataset = VideoDataset(synthetic_dataset_dir + "/train", batching, transform)
+
+    seen = []
+    for shard in range(2):
+        loader = DataLoader(dataset, batch_size=1, shuffle=True, drop_last=True,
+                            num_workers=1, seed=7, shard_index=shard,
+                            shard_count=2)
+        shard_actions = [tuple(np.asarray(b.actions[0]).tolist()) for b in loader]
+        assert len(loader) == len(dataset) // 2
+        seen.append(shard_actions)
+    # Same-seed shuffles on each process produce disjoint strided shards
+    # covering the epoch.
+    assert len(seen[0]) + len(seen[1]) == (len(dataset) // 2) * 2
