@@ -64,9 +64,11 @@ def load_play_session(config_dict, noise: bool = False):
     return session, observation, logger
 
 
-def save_session(frames, actions, output_dir: str, logger: Logger):
-    """Saves a play session: PNGs + metadata + mp4 when possible
-    (reference play.py:182-198)."""
+def save_session(frames, actions, output_dir: str, logger: Logger,
+                 timestamps=None):
+    """Saves a play session: PNGs + metadata pickle + the reference's four
+    mp4 variants — plain, action-overlay, timecoded, timecoded+overlay
+    (reference play.py:182-198, save_video_ffmpeg.py:16-170)."""
     os.makedirs(output_dir, exist_ok=True)
     from PIL import Image
 
@@ -74,18 +76,28 @@ def save_session(frames, actions, output_dir: str, logger: Logger):
         Image.fromarray(frame_to_uint8(frame)).save(
             os.path.join(output_dir, f"{i:05d}.png"))
     with open(os.path.join(output_dir, "session.pkl"), "wb") as f:
-        pickle.dump({"actions": actions}, f)
+        pickle.dump({"actions": actions, "timestamps": timestamps}, f)
     saver = VideoSaver()
     if saver.available:
-        saver.save_video(np.stack([frame_to_uint8(f) for f in frames]),
-                         os.path.join(output_dir, "session.mp4"))
+        stacked = np.stack([frame_to_uint8(f) for f in frames])
+        saver.save_video(stacked, os.path.join(output_dir, "session.mp4"))
+        saver.save_video_with_actions(
+            stacked, actions, os.path.join(output_dir, "session_actions.mp4"))
+        if timestamps is not None and len(timestamps) == len(frames):
+            saver.save_video_timecoded(
+                stacked, timestamps,
+                os.path.join(output_dir, "session_timecoded.mp4"))
+            saver.save_video_timecoded(
+                stacked, timestamps,
+                os.path.join(output_dir, "session_timecoded_actions.mp4"),
+                actions=actions)
     logger.print(f"- Session saved to {output_dir}")
 
 
 def interactive_loop(session: PlaySession, logger: Logger, output_dir: str,
                      actions_count: int):
     """Terminal interactive loop (reference play.py:138-201)."""
-    frames, actions = [], []
+    frames, actions, timestamps = [], [], []
     logger.print(f"Keys: 1..{actions_count} = action, 0 = save & reset, q = quit")
     while True:
         key = input("action> ").strip()
@@ -94,8 +106,8 @@ def interactive_loop(session: PlaySession, logger: Logger, output_dir: str,
         if key == "0":
             save_session(frames, actions,
                          os.path.join(output_dir, f"session_{int(time.time())}"),
-                         logger)
-            frames, actions = [], []
+                         logger, timestamps=timestamps)
+            frames, actions, timestamps = [], [], []
             continue
         try:
             action = int(key) - 1
@@ -110,6 +122,7 @@ def interactive_loop(session: PlaySession, logger: Logger, output_dir: str,
         latency = (time.perf_counter() - start) * 1000
         frames.append(frame)
         actions.append(action)
+        timestamps.append(time.time())
         logger.print(f"frame {len(frames)} action {action} ({latency:.1f} ms)")
 
 

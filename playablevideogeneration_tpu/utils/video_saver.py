@@ -67,3 +67,39 @@ class VideoSaver:
             draw.text((4, 4), f"action {action}", fill=(255, 255, 0))
             annotated.append(np.asarray(image))
         return self.save_video(np.stack(annotated), path)
+
+    def save_video_timecoded(self, frames: np.ndarray,
+                             timestamps: Sequence[float], path: str,
+                             actions: Optional[Sequence[int]] = None,
+                             upscale: int = 1):
+        """Resamples frames to wall-clock presentation times so the video
+        plays back at the speed it was generated — interactive sessions
+        have irregular inter-frame intervals (reference
+        save_video_ffmpeg.py:95-170).  Each source frame is repeated to
+        cover [t_i, t_{i+1}) at the saver framerate; an optional action
+        overlay is applied per source frame."""
+        frames = np.asarray(frames, np.uint8)
+        timestamps = np.asarray(timestamps, np.float64)
+        if len(timestamps) != len(frames):
+            raise ValueError("one timestamp per frame required")
+        start = timestamps[0]
+        # End time of the last frame: extend by the median interval.
+        intervals = np.diff(timestamps)
+        tail = float(np.median(intervals)) if len(intervals) else 1.0 / self.framerate
+        ends = np.concatenate([timestamps[1:], [timestamps[-1] + tail]])
+
+        timecoded: List[np.ndarray] = []
+        for idx, frame in enumerate(frames):
+            if actions is not None:
+                image = Image.fromarray(frame)
+                if upscale > 1:
+                    image = image.resize((image.width * upscale,
+                                          image.height * upscale), Image.NEAREST)
+                draw = ImageDraw.Draw(image)
+                draw.text((4, 4), f"action {actions[idx]}", fill=(255, 255, 0))
+                frame = np.asarray(image)
+            first_tick = int(round((timestamps[idx] - start) * self.framerate))
+            last_tick = int(round((ends[idx] - start) * self.framerate))
+            for _ in range(max(1, last_tick - first_tick)):
+                timecoded.append(frame)
+        return self.save_video(np.stack(timecoded), path)

@@ -195,3 +195,23 @@ def test_loader_process_sharding_is_disjoint_and_complete(synthetic_dataset_dir)
     # Same-seed shuffles on each process produce disjoint strided shards
     # covering the epoch.
     assert len(seen[0]) + len(seen[1]) == (len(dataset) // 2) * 2
+
+
+def test_video_saver_timecoded_resampling(tmp_path):
+    import os
+
+    import numpy as np
+
+    from playablevideogeneration_tpu.utils.video_saver import VideoSaver
+
+    saver = VideoSaver(framerate=10)
+    frames = np.stack([np.full((8, 8, 3), v, np.uint8) for v in (10, 20, 30)])
+    # Frame 2 is on screen 0.2 s -> twice as many ticks as frame 1.
+    out = saver.save_video_timecoded(frames, [0.0, 0.1, 0.3],
+                                     str(tmp_path / "tc.mp4"),
+                                     actions=[0, 1, 2])
+    if saver.available:
+        assert os.path.isfile(out)
+    else:  # PNG fallback directory, one file per resampled tick
+        files = sorted(os.listdir(out))
+        assert len(files) == 4  # 1 + 2 + 1 ticks at 10 fps
