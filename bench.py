@@ -89,7 +89,12 @@ def bench_interactive(fn, args):
 
 
 def bench_training() -> float:
-    """BAIR-class train-step throughput (frames/sec trained, one chip)."""
+    """BAIR-class train-step throughput (frames/sec trained, one chip).
+
+    Per-chip batch 2 matches the reference's per-GPU batch (global batch 8
+    on 4x 2080 Ti, configs/01_bair.yaml:105-117 + README.md:125); on a
+    v5e-8 the data-parallel global batch is 16.  Remat over the time scan
+    is required for the 256px workload to fit one chip's 16G HBM."""
     from playablevideogeneration_tpu.config.configuration import Configuration
     from playablevideogeneration_tpu.data.synthetic import make_synthetic_config
     from playablevideogeneration_tpu.data.video_dataset import Batch
@@ -97,18 +102,18 @@ def bench_training() -> float:
     from playablevideogeneration_tpu.training.smooth_mi import make_smooth_mi_trainer
     from playablevideogeneration_tpu.utils.logging import Logger
 
-    B, T, H, W = 8, 12, 256, 256  # reference configs/01_bair.yaml:105-117
+    B, T, H, W = 2, 12, 256, 256
     config = make_synthetic_config(
         data_root="/nonexistent", output_root="/tmp/pvg_bench_train",
         height=H, width=W, actions_count=7, batch_size=B,
         observations_count=T, observation_stacking=1,
         hidden_state_size=128, state_features=64)
-    config["tpu"] = {"compute_dtype": "bfloat16"}
+    config["tpu"] = {"compute_dtype": "bfloat16", "remat": True}
     Configuration(config=config).check_config(check_data_root=False)
 
     model = Caddy(actions_count=7, action_space_dimension=2, state_features=64,
                   state_resolution=(H // 8, W // 8), hidden_state_size=128,
-                  observation_stacking=1, dtype=jnp.bfloat16)
+                  observation_stacking=1, remat=True, dtype=jnp.bfloat16)
 
     class _NullDataset:
         def set_observations_count(self, n):

@@ -74,6 +74,9 @@ class Configuration:
         c["tpu"].setdefault("data_parallel_devices", None)  # None = all
         c["tpu"].setdefault("donate_state", True)
         c["tpu"].setdefault("prefetch_batches", 2)
+        # Rematerialize scan activations (jax.checkpoint over time): ~1/3
+        # more forward FLOPs for O(T)-fold less activation memory.
+        c["tpu"].setdefault("remat", False)
         # Pretrained backbone weights (see docs/PRETRAINED_WEIGHTS.md):
         # directory of canonical .npz files, or per-backbone path overrides.
         c["tpu"].setdefault("pretrained_weights_dir", None)

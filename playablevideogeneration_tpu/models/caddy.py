@@ -60,6 +60,11 @@ class Caddy(nn.Module):
     # flows from the dynamics into the representation network (reference
     # model.py:33,425-431; the full forward forbids it, model.py:354).
     pretraining_detach: bool = False
+    # Rematerialize scan-step activations in the backward pass
+    # (jax.checkpoint over time, SURVEY.md §7): trades ~1/3 more forward
+    # FLOPs for O(T)-fold less activation memory — required for the
+    # BAIR-class 256px workload to fit one chip's HBM.
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -251,7 +256,8 @@ class Caddy(nn.Module):
             # batch_stats carry pytree is complete before scanning.
             step(self, carry0, jax.tree.map(lambda v: v[0], xs))
 
-        scan = nn.scan(step, in_axes=0, out_axes=0, **self._scan_collections())
+        step_fn = nn.remat(step, prevent_cse=False) if self.remat else step
+        scan = nn.scan(step_fn, in_axes=0, out_axes=0, **self._scan_collections())
         _, (hiddens, recons, next_states, next_atts) = scan(self, carry0, xs)
 
         hidden_states = tops.batch_major(hiddens)
@@ -337,7 +343,8 @@ class Caddy(nn.Module):
         if self.is_initializing():
             step(self, carry0, jax.tree.map(lambda v: v[0], xs))
 
-        scan = nn.scan(step, in_axes=0, out_axes=0, **self._scan_collections())
+        step_fn = nn.remat(step, prevent_cse=False) if self.remat else step
+        scan = nn.scan(step_fn, in_axes=0, out_axes=0, **self._scan_collections())
         _, hiddens = scan(self, carry0, xs)
         hidden_states = tops.batch_major(hiddens)
 
@@ -453,6 +460,7 @@ def _model_from_config(config, rendering_widths=None) -> Caddy:
         ensemble_size=m["action_network"]["ensamble_size"],
         rendering_widths=rendering_widths,
         pretraining_detach=config["training"].get("pretraining_detach", False),
+        remat=config.get("tpu", {}).get("remat", False),
         dtype=dtype,
     )
 

@@ -134,3 +134,48 @@ def test_court_filter_and_tallest_selection():
     center = select_player_center(boxes, w, h)
     assert center == (155.0, 50.0)
     assert select_player_center([(5, 5, 50, 20)], w, h) == (-1.0, -1.0)
+
+
+def test_evaluate_dataset_with_plugged_backbones(tmp_path, monkeypatch):
+    """With extractor/embedder/lpips backends plugged in (here: cheap
+    deterministic stand-ins with the real interfaces), the pipeline
+    produces actual FID / FVD / LPIPS numbers instead of markers."""
+    import jax.numpy as jnp
+
+    from playablevideogeneration_tpu.cli.evaluate_dataset import evaluate_dataset
+    from playablevideogeneration_tpu.config.configuration import (
+        EvaluationConfiguration,
+    )
+
+    monkeypatch.delenv("PVG_PRETRAINED_WEIGHTS", raising=False)
+    ref_dir, gen_dir = _write_eval_datasets(str(tmp_path))
+    configuration = EvaluationConfiguration(
+        config=_eval_config(tmp_path, ref_dir, gen_dir))
+    configuration.check_config()
+    configuration.create_directory_structure()
+
+    def fake_fid_extractor(frames):  # (N, H, W, 3) -> (N, D)
+        f = np.asarray(frames, np.float64)
+        means = f.mean(axis=(1, 2, 3), keepdims=False)
+        return np.stack([means, f.var(axis=(1, 2, 3)), f[:, 0, 0, 0],
+                         f[:, -1, -1, -1]], axis=1)
+
+    def fake_fvd_embedder(videos):  # (N, T, H, W, 3) -> (N, D)
+        v = np.asarray(videos, np.float64)
+        return np.stack([v.mean(axis=(1, 2, 3, 4)),
+                         v.var(axis=(1, 2, 3, 4))], axis=1)
+
+    def fake_lpips(ref, gen):  # (B, T, H, W, 3) pairs -> (B, T)
+        return jnp.mean((ref - gen) ** 2, axis=(2, 3, 4))
+
+    metrics = evaluate_dataset(configuration.get_config(),
+                               fid_extractor=fake_fid_extractor,
+                               fvd_embedder=fake_fvd_embedder,
+                               lpips_fn=fake_lpips)
+    # Identical frame statistics -> Fréchet distances are zero up to fp
+    # error (which may land a hair negative).
+    assert np.isfinite(metrics["fid"]) and metrics["fid"] >= -1e-6
+    assert np.isfinite(metrics["fvd"]) and metrics["fvd"] >= -1e-6
+    assert np.isfinite(metrics["lpips/avg"])
+    for marker in ("fid_unavailable", "fvd_unavailable", "lpips_unavailable"):
+        assert marker not in metrics

@@ -233,3 +233,35 @@ def test_pretraining_detach_blocks_dynamics_gradients(tiny_model, tiny_variables
     with pytest.raises(NotImplementedError):
         detached.apply(tiny_variables, obs, acts, 1, pretraining=False,
                        train=False, rngs={"sample": jax.random.PRNGKey(0)})
+
+
+def test_remat_matches_plain_forward_and_grads(tiny_model, tiny_variables):
+    """jax.checkpoint over the time scan must not change the math."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    remat_model = dataclasses.replace(tiny_model, remat=True)
+    obs = jnp.asarray(np.random.default_rng(0)
+                      .normal(size=(2, 4, 32, 32, 6)).astype(np.float32) * 0.1)
+    acts = jnp.zeros((2, 4), jnp.int32)
+
+    def loss(model, params):
+        variables = dict(tiny_variables, params=params)
+        out = model.apply(variables, obs, acts, 1, pretraining=False,
+                          train=False, rngs={"sample": jax.random.PRNGKey(3)})
+        return jnp.mean(out.reconstructed_observations ** 2)
+
+    v_plain, g_plain = jax.value_and_grad(
+        lambda p: loss(tiny_model, p))(tiny_variables["params"])
+    v_remat, g_remat = jax.value_and_grad(
+        lambda p: loss(remat_model, p))(tiny_variables["params"])
+    np.testing.assert_allclose(float(v_plain), float(v_remat), rtol=1e-6)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_plain),
+            jax.tree_util.tree_leaves_with_path(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(pa))
