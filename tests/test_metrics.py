@@ -181,3 +181,48 @@ def test_results_plotter_curves(tmp_path):
     results_plotter.plot_metric_curves([path], ["run"], ["mse", "psnr"], out)
     import os
     assert os.path.isfile(os.path.join(out, "mse.pdf"))
+
+
+def test_ssim_matches_independent_reference_implementation():
+    """Golden parity: SSIM vs an independent numpy/scipy implementation of
+    Wang et al. with the piq defaults (gaussian 11x11 sigma 1.5, valid
+    windows, biased covariances) — the reference computes SSIM via piq
+    (dataset_evaluator.py:64)."""
+    from scipy.ndimage import convolve
+
+    from playablevideogeneration_tpu.evaluation.metrics import frame_metrics
+
+    rng = np.random.default_rng(11)
+    ref = rng.uniform(0, 1, (1, 2, 24, 24, 3)).astype(np.float32)
+    gen = np.clip(ref + rng.normal(0, 0.08, ref.shape), 0, 1).astype(np.float32)
+
+    got = np.asarray(frame_metrics.ssim(jnp.asarray(ref), jnp.asarray(gen)))
+
+    # Independent implementation.
+    half = 5
+    coords = np.arange(11) - half
+    g = np.exp(-(coords**2) / (2 * 1.5**2))
+    g /= g.sum()
+    window = np.outer(g, g)
+
+    def valid_filter(img):
+        out = convolve(img, window, mode="constant")
+        return out[half:-half, half:-half]
+
+    c1, c2 = 0.01**2, 0.03**2
+    want = np.zeros_like(got)
+    for b in range(ref.shape[0]):
+        for t in range(ref.shape[1]):
+            per_channel = []
+            for c in range(3):
+                x, y = ref[b, t, :, :, c].astype(np.float64), \
+                    gen[b, t, :, :, c].astype(np.float64)
+                mx, my = valid_filter(x), valid_filter(y)
+                sx = valid_filter(x * x) - mx * mx
+                sy = valid_filter(y * y) - my * my
+                sxy = valid_filter(x * y) - mx * my
+                smap = ((2 * mx * my + c1) * (2 * sxy + c2)) / (
+                    (mx * mx + my * my + c1) * (sx + sy + c2))
+                per_channel.append(smap.mean())
+            want[b, t] = np.mean(per_channel)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
