@@ -3,14 +3,15 @@
 Reference: play.py:30-211 — OpenCV fullscreen window with number-key
 actions, saving PNG frames + mp4 variants + pickle metadata per session.
 
-This environment has no display/OpenCV/ffmpeg; the TPU-native rewrite
-separates the device-resident jitted play step (inference/play_session.py)
-from the front end:
-  - `--interactive`: terminal UI reading action keys from stdin,
-    saving each session as PNG frames + metadata pickle (and mp4 when
-    ffmpeg is present);
-  - default: scripted rollout of random or provided actions, benchmarking
-    per-frame latency.
+The TPU-native rewrite separates the device-resident jitted play step
+(inference/play_session.py) from three front ends:
+  - `--window`: OpenCV window with number-key actions and x10 zoom
+    (reference parity; needs a display);
+  - `--interactive`: terminal UI reading action keys from stdin
+    (headless fallback), saving each session as PNG frames + metadata
+    pickle (and mp4 variants when ffmpeg is present);
+  - default: scripted rollout of random actions as one device program,
+    reporting throughput.
 """
 from __future__ import annotations
 
@@ -126,6 +127,46 @@ def interactive_loop(session: PlaySession, logger: Logger, output_dir: str,
         logger.print(f"frame {len(frames)} action {action} ({latency:.1f} ms)")
 
 
+def window_loop(session: PlaySession, logger: Logger, output_dir: str,
+                actions_count: int, zoom: int = 10):
+    """OpenCV window front end (reference play.py:96-198): upscaled frame
+    display, number-key actions (1..N), '0' saves the session and resets,
+    'q' quits.  Requires a display; the terminal loop is the headless
+    fallback."""
+    import cv2
+
+    window = "playable video generation"
+    cv2.namedWindow(window, cv2.WINDOW_NORMAL)
+    frames, actions, timestamps = [], [], []
+    frame = None
+    logger.print(f"Keys: 1..{actions_count} = action, 0 = save & reset, q = quit")
+    while True:
+        if frame is not None:
+            display = cv2.resize(frame, (frame.shape[1] * zoom,
+                                         frame.shape[0] * zoom),
+                                 interpolation=cv2.INTER_NEAREST)
+            cv2.putText(display, f"action {actions[-1]}" if actions else "",
+                        (8, 24), cv2.FONT_HERSHEY_SIMPLEX, 0.8, (0, 255, 255), 2)
+            cv2.imshow(window, cv2.cvtColor(display, cv2.COLOR_RGB2BGR))
+        key = cv2.waitKey(0)
+        if key in (ord("q"), 27):
+            break
+        action = key - ord("0") - 1  # reference play.py:163-179 key map
+        if action == -1:
+            save_session(frames, actions,
+                         os.path.join(output_dir, f"session_{int(time.time())}"),
+                         logger, timestamps=timestamps)
+            frames, actions, timestamps = [], [], []
+            continue
+        if not 0 <= action < actions_count:
+            continue
+        frame = session.generate_next_u8(action)
+        frames.append(frame)
+        actions.append(action)
+        timestamps.append(time.time())
+    cv2.destroyAllWindows()
+
+
 def main():
     from playablevideogeneration_tpu.utils.jax_setup import setup_jax
 
@@ -133,6 +174,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--interactive", action="store_true")
+    parser.add_argument("--window", action="store_true",
+                        help="OpenCV window UI (needs a display)")
     parser.add_argument("--frames", type=int, default=60,
                         help="scripted rollout length")
     parser.add_argument("--noise", action="store_true",
@@ -147,6 +190,10 @@ def main():
     session, observation, logger = load_play_session(config_dict, noise=args.noise)
     output_dir = config_dict["logging"]["output_directory"]
 
+    if args.window:
+        window_loop(session, logger, output_dir,
+                    config_dict["data"]["actions_count"])
+        return
     if args.interactive:
         interactive_loop(session, logger, output_dir,
                          config_dict["data"]["actions_count"])
