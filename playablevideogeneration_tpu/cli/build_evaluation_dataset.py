@@ -16,7 +16,7 @@ from playablevideogeneration_tpu.data.video_dataset import VideoDataset, collate
 from playablevideogeneration_tpu.utils.logging import Logger
 
 
-def build_evaluation_dataset(config_dict):
+def build_evaluation_dataset(config_dict, reference_checkpoint: str = None):
     registry._register_defaults()
     logger = Logger(config_dict)
 
@@ -34,8 +34,11 @@ def build_evaluation_dataset(config_dict):
     trainer_factory = registry.resolve("trainer", config_dict["training"]["trainer"])
     trainer = trainer_factory(config_dict, model, test_dataset, logger)
     trainer.init_state(collate([test_dataset[0]]))
-    trainer.load_checkpoint()
-    logger.print(f"- Loaded checkpoint at step {trainer.global_step}")
+    if reference_checkpoint:
+        trainer.load_reference_weights(reference_checkpoint)
+    else:
+        trainer.load_checkpoint()
+        logger.print(f"- Loaded checkpoint at step {trainer.global_step}")
 
     builder_factory = registry.resolve(
         "builder", config_dict["evaluation_dataset"]["builder"])
@@ -49,11 +52,16 @@ def main():
     setup_jax()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--reference-checkpoint", type=str, default=None,
+                        help="import weights from a reference .pth.tar "
+                             "(released CADDY checkpoints) instead of an "
+                             "orbax checkpoint")
     args = parser.parse_args()
     configuration = Configuration(args.config)
     configuration.check_config()
     configuration.create_directory_structure()
-    build_evaluation_dataset(configuration.get_config())
+    build_evaluation_dataset(configuration.get_config(),
+                             reference_checkpoint=args.reference_checkpoint)
 
 
 if __name__ == "__main__":

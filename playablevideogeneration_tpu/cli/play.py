@@ -35,9 +35,14 @@ from playablevideogeneration_tpu.utils.logging import Logger
 from playablevideogeneration_tpu.utils.video_saver import VideoSaver
 
 
-def load_play_session(config_dict, noise: bool = False):
+def load_play_session(config_dict, noise: bool = False,
+                      reference_checkpoint: str = None):
     """Builds the model, restores the checkpoint and picks a start
-    observation from the validation set (reference play.py:38-101)."""
+    observation from the validation set (reference play.py:38-101).
+
+    `reference_checkpoint` imports weights from a reference PyTorch
+    .pth.tar (the released CADDY checkpoints) instead of an orbax
+    checkpoint."""
     registry._register_defaults()
     logger = Logger(config_dict)
     model_factory = registry.resolve("model", config_dict["model"]["architecture"])
@@ -52,8 +57,11 @@ def load_play_session(config_dict, noise: bool = False):
     trainer_factory = registry.resolve("trainer", config_dict["training"]["trainer"])
     trainer = trainer_factory(config_dict, model, dataset, logger)
     trainer.init_state(collate([dataset[0]]))
-    trainer.load_checkpoint()
-    logger.print(f"- Loaded checkpoint at step {trainer.global_step}")
+    if reference_checkpoint:
+        trainer.load_reference_weights(reference_checkpoint)
+    else:
+        trainer.load_checkpoint()
+        logger.print(f"- Loaded checkpoint at step {trainer.global_step}")
 
     rng = np.random.default_rng(int(time.time()))
     sample = dataset[int(rng.integers(0, len(dataset)))]
@@ -180,6 +188,9 @@ def main():
                         help="scripted rollout length")
     parser.add_argument("--noise", action="store_true",
                         help="sample N(0,1) action variations")
+    parser.add_argument("--reference-checkpoint", type=str, default=None,
+                        help="import weights from a reference .pth.tar "
+                             "checkpoint instead of an orbax checkpoint")
     args = parser.parse_args()
 
     configuration = Configuration(args.config)
@@ -187,7 +198,9 @@ def main():
     configuration.create_directory_structure()
     config_dict = configuration.get_config()
 
-    session, observation, logger = load_play_session(config_dict, noise=args.noise)
+    session, observation, logger = load_play_session(
+        config_dict, noise=args.noise,
+        reference_checkpoint=args.reference_checkpoint)
     output_dir = config_dict["logging"]["output_directory"]
 
     if args.window:

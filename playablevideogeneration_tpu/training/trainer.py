@@ -265,6 +265,26 @@ class Trainer:
         self.state = mesh_lib.replicate(self.mesh, self.state)
         self.global_step = int(self.state.step)
 
+    def load_reference_weights(self, path: str):
+        """Loads model weights from a reference PyTorch .pth.tar checkpoint
+        (the released CADDY checkpoints, reference README.md:89-94),
+        converted through utils/reference_checkpoint.py.  Optimizer state
+        and step are left as initialized — this is a weight import, not a
+        resume."""
+        from playablevideogeneration_tpu.utils.reference_checkpoint import (
+            load_reference_checkpoint,
+        )
+
+        assert self.state is not None, "call init_state first"
+        variables = load_reference_checkpoint(path)
+        self.state = self.state.replace(
+            params=jax.tree.map(jnp.asarray, variables["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, variables["batch_stats"]),
+            model_state=jax.tree.map(jnp.asarray, variables["model_state"]),
+        )
+        self.state = mesh_lib.replicate(self.mesh, self.state)
+        self.logger.print(f"- Imported reference checkpoint weights from {path}")
+
     # ------------------------------------------------------------------ #
     # Schedules (host side)                                               #
     # ------------------------------------------------------------------ #
