@@ -26,35 +26,42 @@ B, T, H, W = 2, 4, 32, 32
 STACKING = 2
 
 
-@pytest.fixture(scope="module")
-def reference_setup():
+@pytest.fixture(scope="module", params=["main", "reduced"])
+def reference_setup(request):
     import torch
 
     sys.path.insert(0, REFERENCE)
     import importlib
 
-    ref_module = importlib.import_module("model.main_model.model")
-    action_module = importlib.import_module("model.main_model.action_network")
+    variant = request.param
+    ref_module = importlib.import_module(f"model.{variant}_model.model")
+    for mod_name in ("model.main_model.action_network",
+                     "model.reduced_model.action_network"):
+        action_module = importlib.import_module(mod_name)
 
-    # The reference hard-codes .cuda() in its noise/sampling helpers
-    # (model.py:496, action_network.py:45); run them on CPU.  The noise is
-    # never consumed by the dynamics network (conv_dynamics_network.py:30).
-    def cpu_sample(self, mean, variance):
-        noise = torch.randn(mean.size(), dtype=torch.float32)
-        return noise * torch.sqrt(variance) + mean
+        # The reference hard-codes .cuda() in its noise/sampling helpers
+        # (model.py:496, action_network.py:45); run them on CPU.  The noise
+        # is never consumed by the dynamics net (conv_dynamics_network.py:30).
+        def cpu_sample(self, mean, variance):
+            noise = torch.randn(mean.size(), dtype=torch.float32)
+            return noise * torch.sqrt(variance) + mean
 
-    action_module.ActionNetwork.sample = cpu_sample
-    ref_module.Model.generate_noise = lambda self, batch_size: torch.zeros(
+        action_module.ActionNetwork.sample = cpu_sample
+    main_module = importlib.import_module("model.main_model.model")
+    main_module.Model.generate_noise = lambda self, batch_size: torch.zeros(
         (batch_size, self.random_noise_size))
 
     from playablevideogeneration_tpu.data.synthetic import make_synthetic_config
 
-    # The reference main model hard-codes state_features=64 (64+1 attention
-    # split, representation_network.py:22-29) and rendering widths 128/64/32
-    # (rendering_network.py:30-41), so hidden_state_size must be 128.
+    # Both reference variants hard-code state_features=64 (64+1 attention
+    # split); the main rendering widths 128/64/32 demand hidden 128
+    # (rendering_network.py:30-41), the reduced 64/32/16 demand hidden 64.
+    hidden = 128 if variant == "main" else 64
     cfg = make_synthetic_config(
         data_root="/x", output_root="/y", height=H, width=W, actions_count=3,
-        observation_stacking=STACKING, hidden_state_size=128, state_features=64)
+        observation_stacking=STACKING, hidden_state_size=hidden,
+        state_features=64)
+    cfg["model"]["architecture"] = f"model.{variant}_model.model"
     # Optional key our Configuration.check_config would default; the
     # reference reads it directly (model.py:188).
     cfg["model"]["action_network"]["use_variations"] = True
@@ -78,10 +85,11 @@ def converted(reference_setup):
 
 @pytest.fixture(scope="module")
 def our_model(reference_setup):
-    from playablevideogeneration_tpu.models.caddy import make_main_model
+    from playablevideogeneration_tpu.config import registry
 
+    registry._register_defaults()
     _, cfg = reference_setup
-    return make_main_model(cfg)
+    return registry.resolve("model", cfg["model"]["architecture"])(cfg)
 
 
 def test_converted_tree_is_congruent_with_init(reference_setup, converted,
@@ -262,3 +270,65 @@ def test_play_session_runs_on_reference_weights(reference_setup, converted,
     assert np.all(np.isfinite(frame))
     frames = session.rollout(np.asarray([0, 1, 2]))
     assert frames.shape == (3, H, W, 3) and frames.dtype == np.uint8
+
+
+def test_pretraining_forward_parity(reference_setup, converted, our_model):
+    """Pretraining-phase parity: state->hidden projection decoding, the
+    dynamics scan over GT states, and the re-encoding of decoded frames
+    (reference model.py:290-468)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from playablevideogeneration_tpu.evaluation.action_sampler import (
+        make_ground_truth_action_sampler,
+        zero_action_variation_sampler,
+    )
+
+    ref_model, _ = reference_setup
+
+    def torch_gt_sampler(log_probabilities, ground_truth):
+        return torch.nn.functional.one_hot(
+            ground_truth.long(), log_probabilities.size(1)).float()
+
+    rng = np.random.default_rng(9)
+    obs = rng.uniform(-1, 1, (B, T, 3 * STACKING, H, W)).astype(np.float32)
+    actions = rng.integers(0, 3, (B, T)).astype(np.int64)
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            (torch.tensor(obs), torch.tensor(actions),
+             torch.zeros((B, T)), torch.zeros((B, T))),
+            pretraining=True, gumbel_temperature=0.4,
+            action_sampler=torch_gt_sampler,
+            action_variation_sampler=lambda dirs, samples: dirs * 0.0)
+    (ref_recon, ref_multires, ref_recon_states, ref_states,
+     ref_recon_hidden, ref_hidden, _selected, _logits, ref_samples,
+     ref_attention, *_rest) = ref_out
+
+    our_out = our_model.apply(
+        converted, jnp.asarray(np.transpose(obs, (0, 1, 3, 4, 2))),
+        jnp.asarray(actions.astype(np.int32)), 1, pretraining=True,
+        train=False, gumbel_temperature=jnp.asarray(0.4),
+        action_sampler=make_ground_truth_action_sampler({i: i for i in range(3)}),
+        variation_sampler=zero_action_variation_sampler,
+        rngs={"sample": jax.random.PRNGKey(2)})
+
+    tol = dict(rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(our_out.states), _nhwc(ref_states), **tol)
+    np.testing.assert_allclose(np.asarray(our_out.attention),
+                               _nhwc(ref_attention), **tol)
+    np.testing.assert_allclose(np.asarray(our_out.action_samples),
+                               ref_samples.numpy(), **tol)
+    np.testing.assert_allclose(np.asarray(our_out.reconstructed_hidden_states),
+                               _nhwc(ref_recon_hidden), **tol)
+    np.testing.assert_allclose(np.asarray(our_out.hidden_states),
+                               _nhwc(ref_hidden), **tol)
+    np.testing.assert_allclose(np.asarray(our_out.reconstructed_observations),
+                               _nhwc(ref_recon), **tol)
+    for ours, theirs in zip(our_out.multiresolution_reconstructed_observations,
+                            ref_multires):
+        np.testing.assert_allclose(np.asarray(ours), _nhwc(theirs), **tol)
+    np.testing.assert_allclose(np.asarray(our_out.reconstructed_states),
+                               _nhwc(ref_recon_states), **tol)
