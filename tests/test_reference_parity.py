@@ -115,6 +115,9 @@ def test_converted_tree_is_congruent_with_init(reference_setup, converted,
             f"extra={sorted(set(got) - set(want))[:5]}")
 
 
+_JITTED_FORWARD = {}
+
+
 def _forward_pair(reference_setup, converted, our_model, gt_init: int):
     import torch
 
@@ -122,7 +125,6 @@ def _forward_pair(reference_setup, converted, our_model, gt_init: int):
     import jax.numpy as jnp
 
     from playablevideogeneration_tpu.evaluation.action_sampler import (
-        one_hot_action_sampler,
         zero_action_variation_sampler,
     )
 
@@ -161,12 +163,22 @@ def _forward_pair(reference_setup, converted, our_model, gt_init: int):
             action_variation_sampler=torch_zero_variation_sampler)
 
     obs_jax = jnp.asarray(np.transpose(obs, (0, 1, 3, 4, 2)))
-    our_out = our_model.apply(
-        converted, obs_jax, jnp.asarray(actions.astype(np.int32)), gt_init,
-        train=False, gumbel_temperature=jnp.asarray(0.4),
-        action_sampler=jax_gt_sampler,
-        variation_sampler=zero_action_variation_sampler,
-        rngs={"sample": jax.random.PRNGKey(1)})
+    # gt_init rides as a TRACED scalar (the framework's annealing design):
+    # one compiled program serves every teacher-forcing schedule.
+    key = id(our_model)
+    if key not in _JITTED_FORWARD:
+        def fwd(variables, obs, actions, gt_init, rng):
+            return our_model.apply(
+                variables, obs, actions, gt_init, train=False,
+                gumbel_temperature=jnp.asarray(0.4),
+                action_sampler=jax_gt_sampler,
+                variation_sampler=zero_action_variation_sampler,
+                rngs={"sample": rng})
+
+        _JITTED_FORWARD[key] = jax.jit(fwd)
+    our_out = _JITTED_FORWARD[key](
+        converted, obs_jax, jnp.asarray(actions.astype(np.int32)),
+        jnp.asarray(gt_init, jnp.int32), jax.random.PRNGKey(1))
     return ref_out, our_out
 
 
