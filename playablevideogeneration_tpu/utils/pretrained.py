@@ -102,14 +102,16 @@ def get_vgg_variables(config, logger=None) -> Tuple[Dict, bool]:
     return vgg_lib.random_vgg_variables(jax.random.PRNGKey(97)), False
 
 
-def get_lpips_fn(config, logger=None) -> Optional[Any]:
+def get_lpips_fn(config, logger=None, vgg_variables=None,
+                 vgg_pretrained=None) -> Optional[Any]:
     """Builds the LPIPS metric if both the VGG backbone and the linear-head
     weights are available (true-LPIPS parity needs both)."""
     from playablevideogeneration_tpu.evaluation.metrics import lpips as lpips_lib
     from playablevideogeneration_tpu.models import vgg as vgg_lib
 
     lin_path = find_weights(config, "lpips_lin")
-    vgg_variables, vgg_pretrained = get_vgg_variables(config)
+    if vgg_variables is None:
+        vgg_variables, vgg_pretrained = get_vgg_variables(config)
     if lin_path is None or not vgg_pretrained:
         return None
     if logger is not None:
@@ -146,7 +148,8 @@ def evaluation_backbones(config, logger=None) -> Dict[str, Any]:
     vgg_variables, vgg_pretrained = get_vgg_variables(config, logger)
     return dict(
         vgg_variables=vgg_variables if vgg_pretrained else None,
-        lpips_fn=get_lpips_fn(config, logger),
+        lpips_fn=get_lpips_fn(config, logger, vgg_variables=vgg_variables,
+                              vgg_pretrained=vgg_pretrained),
         fid_extractor=get_fid_extractor(config, logger),
         fvd_embedder=get_fvd_embedder(config, logger),
     )
