@@ -161,25 +161,49 @@ def bench_training() -> float:
 
 
 def main():
+    import signal
+
     from __graft_entry__ import entry
 
+    start = time.perf_counter()
+    budget = float(os.environ.get("PVG_BENCH_BUDGET", "480"))
+    result = {"metric": "play_rollout_fps_256px", "value": 0.0,
+              "unit": "frames/sec/chip", "vs_baseline": 0.0, "extra": {}}
+    printed = [False]
+
+    def emit(*_sig):
+        # Failsafe: whatever is measured so far still reaches the driver
+        # if an external timeout fires mid-compile.
+        if not printed[0]:
+            printed[0] = True
+            print(json.dumps(result), flush=True)
+        if _sig:
+            raise SystemExit(0)
+
+    signal.signal(signal.SIGALRM, emit)
+    signal.signal(signal.SIGTERM, emit)
+    signal.alarm(int(budget + 90))
+
     fn, args = entry()
-    extra = {}
     fps = bench_rollout(fn, args)
-    extra["play_interactive_p50_latency_ms"] = round(bench_interactive(fn, args), 2)
-    if os.environ.get("PVG_BENCH_TRAIN", "1") != "0":
+    result["value"] = round(fps, 2)
+    result["vs_baseline"] = round(fps / BASELINE_FPS, 3)
+
+    def remaining():
+        return budget - (time.perf_counter() - start)
+
+    extra = result["extra"]
+    if remaining() > 60:
+        extra["play_interactive_p50_latency_ms"] = round(
+            bench_interactive(fn, args), 2)
+    if os.environ.get("PVG_BENCH_TRAIN", "1") != "0" and remaining() > 120:
         try:
             extra["train_frames_per_sec"] = round(bench_training(), 2)
         except Exception as e:  # training bench must not sink the headline
             extra["train_bench_error"] = str(e)[:200]
 
-    print(json.dumps({
-        "metric": "play_rollout_fps_256px",
-        "value": round(fps, 2),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "extra": extra,
-    }))
+    signal.alarm(0)
+    emit()
 
 
 if __name__ == "__main__":
