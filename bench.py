@@ -161,7 +161,7 @@ def bench_training() -> float:
 
 
 def main():
-    import signal
+    import threading
 
     from __graft_entry__ import entry
 
@@ -169,20 +169,21 @@ def main():
     budget = float(os.environ.get("PVG_BENCH_BUDGET", "480"))
     result = {"metric": "play_rollout_fps_256px", "value": 0.0,
               "unit": "frames/sec/chip", "vs_baseline": 0.0, "extra": {}}
-    printed = [False]
+    emitted = threading.Event()
 
-    def emit(*_sig):
-        # Failsafe: whatever is measured so far still reaches the driver
-        # if an external timeout fires mid-compile.
-        if not printed[0]:
-            printed[0] = True
+    def emit():
+        if not emitted.is_set():
+            emitted.set()
             print(json.dumps(result), flush=True)
-        if _sig:
-            raise SystemExit(0)
 
-    signal.signal(signal.SIGALRM, emit)
-    signal.signal(signal.SIGTERM, emit)
-    signal.alarm(int(budget + 90))
+    # Watchdog THREAD (signals cannot preempt a long-running XLA compile;
+    # a thread can): whatever is measured so far reaches the driver even
+    # if an external timeout kills the process mid-compile.
+    def watchdog():
+        if not emitted.wait(timeout=budget + 90):
+            emit()
+
+    threading.Thread(target=watchdog, daemon=True).start()
 
     fn, args = entry()
     fps = bench_rollout(fn, args)
@@ -202,7 +203,6 @@ def main():
         except Exception as e:  # training bench must not sink the headline
             extra["train_bench_error"] = str(e)[:200]
 
-    signal.alarm(0)
     emit()
 
 

@@ -156,7 +156,9 @@ def window_loop(session: PlaySession, logger: Logger, output_dir: str,
             cv2.putText(display, f"action {actions[-1]}" if actions else "",
                         (8, 24), cv2.FONT_HERSHEY_SIMPLEX, 0.8, (0, 255, 255), 2)
             cv2.imshow(window, cv2.cvtColor(display, cv2.COLOR_RGB2BGR))
-        key = cv2.waitKey(0)
+        # Mask to 8 bits: GTK/Qt OpenCV builds set modifier bits (NumLock
+        # etc.) in the waitKey return value.
+        key = cv2.waitKey(0) & 0xFF
         if key in (ord("q"), 27):
             break
         action = key - ord("0") - 1  # reference play.py:163-179 key map

@@ -130,6 +130,9 @@ class EvaluationConfiguration:
         log["output_directory"] = os.path.join(log["output_root"], log["run_name"])
         c["evaluation"].setdefault("max_evaluation_batches", None)
         c["evaluation"].setdefault("detector", "none")
+        # Off by default: the reference constructs the Inception Score but
+        # excludes it from the metric run (dataset_evaluator.py:74).
+        c["evaluation"].setdefault("compute_inception_score", False)
         c.setdefault("tpu", {})
         c["tpu"].setdefault("pretrained_weights_dir", None)
         c["tpu"].setdefault("pretrained_weights", {})

@@ -12,6 +12,10 @@ Two decode backends:
   reference's multi-process loader (reference trainer.py:39 num_workers
   processes) — scales decode across cores for real-data training.
   Process batches carry no Video back-references (arrays only).
+  Fork-safety: workers only decode PNGs with PIL/numpy and never touch
+  the JAX runtime inherited from the parent (calling JAX in a fork()ed
+  child of an initialized runtime is undefined behavior — same caveat as
+  torch's fork-based workers with CUDA).
 
 Multi-host: pass (shard_index, shard_count) = (jax.process_index(),
 jax.process_count()); every process shuffles with the same seed and takes a
@@ -68,7 +72,9 @@ class DataLoader:
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
-        n = len(self.dataset) // self.shard_count
+        # Mirrors _batch_indices: truncate-to-common-multiple, then shard.
+        n = (len(self.dataset) - len(self.dataset) % self.shard_count) \
+            // self.shard_count
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _batch_indices(self):
@@ -77,7 +83,11 @@ class DataLoader:
             self._rng.shuffle(indices)
         if self.shard_count > 1:
             # Same-seed shuffle on every process -> disjoint strided shards.
-            indices = indices[self.shard_index::self.shard_count]
+            # Truncate to a common multiple FIRST: unequal shard lengths
+            # would leave one process running an extra collective step at
+            # epoch end, deadlocking the others.
+            limit = len(indices) - (len(indices) % self.shard_count)
+            indices = indices[:limit][self.shard_index::self.shard_count]
         limit = (len(indices) // self.batch_size) * self.batch_size \
             if self.drop_last else len(indices)
         for start in range(0, limit, self.batch_size):

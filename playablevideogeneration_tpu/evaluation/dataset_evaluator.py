@@ -49,7 +49,9 @@ class MetricsAccumulator:
         self._data.setdefault(key, []).append(np.asarray(value))
 
     def pop(self, key: str) -> np.ndarray:
-        values = self._data.pop(key)
+        # Absent keys yield an empty array: e.g. no (movement, action) pair
+        # is ever accumulated when the detector backend is 'none'.
+        values = self._data.pop(key, [])
         return np.concatenate(values, axis=0) if values else np.zeros((0,))
 
 
@@ -73,7 +75,8 @@ class DatasetEvaluator:
 
     def __init__(self, config, logger: Logger, reference_dataset, generated_dataset,
                  vgg_variables=None, lpips_fn=None, fid_extractor=None,
-                 fvd_embedder=None, detector: Optional[TennisPlayerDetector] = None):
+                 fvd_embedder=None, detector: Optional[TennisPlayerDetector] = None,
+                 class_probability_fn=None):
         self.config = config
         self.logger = logger
         b = config["evaluation"]["batching"] if "batching" in config.get(
@@ -100,6 +103,12 @@ class DatasetEvaluator:
         self.lpips_fn = lpips_fn
         self.fid_extractor = fid_extractor
         self.fvd_embedder = fvd_embedder
+        # Inception Score: the reference constructs it but leaves it out of
+        # the metric run (dataset_evaluator.py:74); here it is off by
+        # default and enabled with evaluation.compute_inception_score.
+        self.class_probability_fn = class_probability_fn
+        self.compute_is = bool(config.get("evaluation", {}).get(
+            "compute_inception_score", False))
         if detector is None:
             from playablevideogeneration_tpu.evaluation.metrics.detection import (
                 make_detector,
@@ -225,6 +234,23 @@ class DatasetEvaluator:
             results["fvd"] = self._compute_fvd()
         else:
             results["fvd_unavailable"] = "no FVD I3D weights provided"
+        if self.compute_is:
+            if self.class_probability_fn is not None:
+                self.logger.print("- Computing Inception Score")
+                from playablevideogeneration_tpu.evaluation.metrics.inception import (
+                    inception_score,
+                )
+
+                probs = np.concatenate(
+                    [np.asarray(self.class_probability_fn(frames))
+                     for frames in self._iter_frames(self.generated_dataloader)],
+                    axis=0)
+                mean, std = inception_score(probs)
+                results["inception_score"] = mean
+                results["inception_score_std"] = std
+            else:
+                results["inception_score_unavailable"] = \
+                    "no Inception classifier head available"
 
         return results
 

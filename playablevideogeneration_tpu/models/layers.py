@@ -17,7 +17,7 @@ Differences from the reference by design (TPU-first):
 """
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -53,21 +53,68 @@ def upsample_nearest(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     return jax.image.resize(x, (b, h * scale, w * scale, c), method="nearest")
 
 
+class _FrozenBNLeakyRelu(nn.Module):
+    """Inference-path BatchNorm + LeakyReLU as one fused Pallas VPU pass.
+
+    Declares the exact parameter/statistic structure of nn.BatchNorm
+    (params scale/bias, batch_stats mean/var) so it is checkpoint- and
+    init-interchangeable with the standard path; the frozen statistics
+    fold into a per-channel scale/shift (ops/pallas/fused_norm_act.py).
+    Forward-only: training and autodiff use the standard path.
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from playablevideogeneration_tpu.ops.pallas.fused_norm_act import (
+            fold_batch_norm,
+            fused_scale_shift_leaky_relu,
+        )
+
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((features,), jnp.float32)).value
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((features,), jnp.float32)).value
+        a, b = fold_batch_norm(scale, bias, mean, var, eps=1e-5)
+        return fused_scale_shift_leaky_relu(x.astype(self.dtype),
+                                            a.astype(self.dtype),
+                                            b.astype(self.dtype))
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with torch-compatible hyperparameters.
 
     torch BatchNorm2d(momentum=0.1) == flax BatchNorm(momentum=0.9);
     epsilon 1e-5 in both.  Statistics are kept in the 'batch_stats'
     collection and computed in float32 regardless of compute dtype.
+
+    ``activation='leaky_relu'`` appends the model's LeakyReLU(0.2); on the
+    inference path (frozen statistics) on TPU, the normalization and
+    activation run as ONE fused Pallas kernel over folded scale/shift
+    parameters (SURVEY.md §7 step 8 'fused conv+BN+LeakyReLU' epilogue).
     """
 
     use_running_average: bool = False
     affine: bool = True
     dtype: Dtype = jnp.float32
+    activation: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
-        return nn.BatchNorm(
+        from playablevideogeneration_tpu.ops.pallas.convlstm_gates import (
+            pallas_enabled,
+        )
+
+        if (self.activation == "leaky_relu" and self.use_running_average
+                and self.affine and pallas_enabled()
+                and not self.is_initializing()):
+            return _FrozenBNLeakyRelu(dtype=self.dtype, name="BatchNorm_0")(x)
+
+        y = nn.BatchNorm(
             use_running_average=self.use_running_average,
             momentum=0.9,
             epsilon=1e-5,
@@ -76,6 +123,9 @@ class BatchNorm(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)
+        if self.activation == "leaky_relu":
+            y = leaky_relu(y)
+        return y
 
 
 class ResidualBlock(nn.Module):
@@ -98,8 +148,8 @@ class ResidualBlock(nn.Module):
         out = nn.Conv(self.out_planes, (3, 3), use_bias=False, dtype=self.dtype,
                       param_dtype=jnp.float32, name="conv1")(x)
         out = avg_pool(out, self.downsample_factor)
-        out = BatchNorm(use_running_average=not self.train, dtype=self.dtype, name="bn1")(out)
-        out = leaky_relu(out)
+        out = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
+                        activation="leaky_relu", name="bn1")(out)
         out = nn.Conv(self.out_planes, (3, 3), use_bias=False, dtype=self.dtype,
                       param_dtype=jnp.float32, name="conv2")(out)
         out = BatchNorm(use_running_average=not self.train, affine=self.last_affine,
@@ -133,9 +183,9 @@ class SameBlock(nn.Module):
         out = nn.Conv(self.out_planes, (3, 3), use_bias=False, dtype=self.dtype,
                       param_dtype=jnp.float32, name="conv1")(x)
         out = avg_pool(out, self.downsample_factor)
-        out = BatchNorm(use_running_average=not self.train, dtype=self.dtype, name="bn1")(out)
-        if not self.drop_final_activation:
-            out = leaky_relu(out)
+        activation = None if self.drop_final_activation else "leaky_relu"
+        out = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
+                        activation=activation, name="bn1")(out)
         return out
 
 
@@ -160,8 +210,8 @@ class UpBlock(nn.Module):
         out = nn.Conv(self.out_planes, (self.kernel_size, self.kernel_size),
                       use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                       name="conv")(out)
-        out = BatchNorm(use_running_average=not self.train, dtype=self.dtype, name="norm")(out)
-        out = leaky_relu(out)
+        out = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
+                        activation="leaky_relu", name="norm")(out)
         if self.late_upscaling:
             out = up(out, self.scale_factor)
         return out

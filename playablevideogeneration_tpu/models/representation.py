@@ -36,8 +36,8 @@ class RepresentationNetwork(nn.Module):
         x = nn.Conv(16, (3, 3), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv1")(observations)
         x = avg_pool(x, 2)
-        x = BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(x)
-        x = leaky_relu(x)
+        x = BatchNorm(use_running_average=not train, dtype=self.dtype,
+                      activation="leaky_relu", name="bn1")(x)
 
         sf = self.state_features
         specs = [(16, 1), (32, 2), (32, 1), (sf, 2), (sf, 1), (sf + 1, 1)]

@@ -30,8 +30,12 @@ def fold_batch_norm(scale, bias, mean, var, eps: float = 1e-5):
 
 
 def _kernel(x_ref, a_ref, b_ref, out_ref, *, negative_slope: float):
-    y = x_ref[:] * a_ref[:] + b_ref[:]
-    out_ref[:] = jnp.where(y >= 0, y, y * negative_slope)
+    # f32 math with casts at the refs: uniform element types keep Mosaic's
+    # verifier happy on bf16 storage (see convlstm_gates._fwd_kernel).
+    y = (x_ref[:].astype(jnp.float32) * a_ref[:].astype(jnp.float32)
+         + b_ref[:].astype(jnp.float32))
+    y = jnp.where(y >= 0.0, y, y * negative_slope)
+    out_ref[:] = y.astype(out_ref.dtype)
 
 
 def fused_scale_shift_leaky_relu(x: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,

@@ -226,10 +226,12 @@ class Trainer:
         self.average_meter = AverageMeter()
         self.state: Optional[TrainState] = None
         # jax.profiler trace window (SURVEY.md §5 tracing): set
-        # tpu.profile_dir (or PVG_PROFILE_DIR) to capture steps 10..15.
+        # tpu.profile_dir (or PVG_PROFILE_DIR) to capture a 5-step window
+        # after warmup of the first profiled epoch.
         self.profile_dir = (config.get("tpu", {}).get("profile_dir")
                             or os.environ.get("PVG_PROFILE_DIR"))
         self._profiling = False
+        self._profile_stop_at = 0
 
     # ------------------------------------------------------------------ #
     # State init / checkpointing                                          #
@@ -311,7 +313,7 @@ class Trainer:
     # Jitted step                                                         #
     # ------------------------------------------------------------------ #
 
-    def _make_train_step(self, pretraining: bool, with_plot_arrays: bool = False):
+    def _make_train_step(self, pretraining: bool):
         t = self.config["training"]
         loss_weights = dict(t["loss_weights"])
         mi_lambda = t.get("action_mutual_information_entropy_lambda", 1.0)
@@ -365,20 +367,27 @@ class Trainer:
             for module_name, module_grads in grads.items():
                 metrics[f"grad_norm/{module_name}"] = jnp.sqrt(
                     _sq_sum(module_grads))
-            if with_plot_arrays:
-                metrics["_plot_arrays"] = aux["plot_arrays"]
+            # Always returned (a few KB): a separate plot-step program would
+            # recompile the whole train step just to expose these.
+            metrics["_plot_arrays"] = aux["plot_arrays"]
             return new_state, metrics
 
         donate = (0,) if self.config.get("tpu", {}).get("donate_state", True) else ()
         return jax.jit(train_step, donate_argnums=donate)
 
-    def _get_train_step(self, observations_count: int, pretraining: bool,
-                        with_plot_arrays: bool = False):
-        key = (observations_count, pretraining, with_plot_arrays)
+    def _get_train_step(self, observations_count: int, pretraining: bool):
+        key = (observations_count, pretraining)
         if key not in self._jitted:
-            self._jitted[key] = self._make_train_step(pretraining,
-                                                      with_plot_arrays)
+            self._jitted[key] = self._make_train_step(pretraining)
         return self._jitted[key]
+
+    def _stop_profile(self):
+        import jax.profiler
+
+        jax.profiler.stop_trace()
+        self._profiling = False
+        self.profile_dir, written = None, self.profile_dir  # one window per run
+        self.logger.print(f"- Wrote profiler trace to {written}")
 
     # ------------------------------------------------------------------ #
     # Action-space plots                                                  #
@@ -433,19 +442,20 @@ class Trainer:
             gt_init = min(gt_init, observations_count - 1)
             gumbel_t = self.get_gumbel_temperature()
 
-            if self.profile_dir and self.global_step == 10 and not self._profiling:
+            if (self.profile_dir is not None and not self._profiling
+                    and performed_steps == 3):
+                # Steps 1-2 of the epoch are compile+warmup; trace a
+                # 5-step window (works for short and resumed runs alike).
                 jax.profiler.start_trace(self.profile_dir)
                 self._profiling = True
-            elif self._profiling and self.global_step >= 15:
-                jax.profiler.stop_trace()
-                self._profiling = False
-                self.logger.print(f"- Wrote profiler trace to {self.profile_dir}")
+                self._profile_stop_at = self.global_step + 5
+            elif self._profiling and self.global_step >= self._profile_stop_at:
+                self._stop_profile()
 
             rng, self._rng = jax.random.split(self._rng)
             plot_freq = self.config["training"]["action_direction_plotting_freq"]
             want_plots = bool(plot_freq) and self.global_step % plot_freq == 0
-            step_fn = self._get_train_step(observations_count, pretraining,
-                                           with_plot_arrays=want_plots)
+            step_fn = self._get_train_step(observations_count, pretraining)
             obs = mesh_lib.put_batch(self.mesh, batch.observations)
             acts = mesh_lib.put_batch(self.mesh, batch.actions)
 
@@ -455,8 +465,9 @@ class Trainer:
                 jnp.asarray(gt_init, jnp.int32),
                 jnp.asarray(gumbel_t, jnp.float32), rng, self.vgg_variables)
             metrics = jax.device_get(metrics)
+            plot_arrays = metrics.pop("_plot_arrays")
             if want_plots:
-                self._plot_action_space(metrics.pop("_plot_arrays"))
+                self._plot_action_space(plot_arrays)
             metrics = {k: float(v) for k, v in metrics.items()}
             metrics["step_time"] = time.perf_counter() - start
             # Device memory observability (reference MemoryDisplayer,
@@ -487,6 +498,9 @@ class Trainer:
                     logged = {f"train/{k}": v for k, v in avg.items()}
                     logged["train/lr"] = lr
                     self.logger.log(logged, step=self.global_step)
+
+        if self._profiling:  # short epoch: finalize the trace anyway
+            self._stop_profile()
 
 
 def make_trainer(config, model, dataset, logger, **kw) -> Trainer:

@@ -131,6 +131,23 @@ def get_fid_extractor(config, logger=None) -> Optional[Any]:
     return inception.make_fid_extractor(load_variables_npz(path))
 
 
+def get_class_probability_fn(config, logger=None) -> Optional[Any]:
+    """Inception classifier head (for the Inception Score), available when
+    the FID checkpoint carries its 'fc' head (tools/convert_weights.py
+    keeps it)."""
+    from playablevideogeneration_tpu.evaluation.metrics import inception
+
+    path = find_weights(config, "fid_inception")
+    if path is None:
+        return None
+    variables = load_variables_npz(path)
+    if "fc" not in variables.get("params", {}):
+        return None
+    if logger is not None:
+        logger.print(f"- Loading Inception classifier head from {path}")
+    return inception.make_class_probability_fn(variables)
+
+
 def get_fvd_embedder(config, logger=None) -> Optional[Any]:
     from playablevideogeneration_tpu.evaluation.metrics import i3d
 
@@ -152,4 +169,5 @@ def evaluation_backbones(config, logger=None) -> Dict[str, Any]:
                               vgg_pretrained=vgg_pretrained),
         fid_extractor=get_fid_extractor(config, logger),
         fvd_embedder=get_fvd_embedder(config, logger),
+        class_probability_fn=get_class_probability_fn(config, logger),
     )

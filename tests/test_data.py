@@ -215,3 +215,26 @@ def test_video_saver_timecoded_resampling(tmp_path):
     else:  # PNG fallback directory, one file per resampled tick
         files = sorted(os.listdir(out))
         assert len(files) == 4  # 1 + 2 + 1 ticks at 10 fps
+
+
+def test_loader_uneven_shards_truncate_to_equal_counts():
+    """Uneven dataset / shard_count: every shard must yield the SAME number
+    of batches (a longer shard would deadlock multi-host collectives)."""
+    from playablevideogeneration_tpu.data.loader import DataLoader
+
+    class _Stub:
+        def __len__(self):
+            return 11
+
+        def __getitem__(self, i):
+            raise AssertionError("index access not needed")
+
+    lengths = []
+    for shard in range(2):
+        loader = DataLoader(_Stub(), batch_size=1, shuffle=False,
+                            drop_last=True, num_workers=1,
+                            shard_index=shard, shard_count=2)
+        idxs = list(loader._batch_indices())
+        lengths.append(len(idxs))
+        assert len(loader) == len(idxs)
+    assert lengths[0] == lengths[1] == 5

@@ -179,3 +179,33 @@ def test_evaluate_dataset_with_plugged_backbones(tmp_path, monkeypatch):
     assert np.isfinite(metrics["lpips/avg"])
     for marker in ("fid_unavailable", "fvd_unavailable", "lpips_unavailable"):
         assert marker not in metrics
+
+
+def test_inception_score_wiring(tmp_path, monkeypatch):
+    """evaluation.compute_inception_score reports IS when a classifier
+    backend is plugged; records a marker otherwise."""
+    from playablevideogeneration_tpu.cli.evaluate_dataset import evaluate_dataset
+    from playablevideogeneration_tpu.config.configuration import (
+        EvaluationConfiguration,
+    )
+
+    monkeypatch.delenv("PVG_PRETRAINED_WEIGHTS", raising=False)
+    ref_dir, gen_dir = _write_eval_datasets(str(tmp_path), videos=1)
+    cfg = _eval_config(tmp_path, ref_dir, gen_dir)
+    cfg["evaluation"]["compute_inception_score"] = True
+    cfg["evaluation"]["detector"] = "none"
+    configuration = EvaluationConfiguration(config=cfg)
+    configuration.check_config()
+    configuration.create_directory_structure()
+
+    def fake_class_probs(frames):  # (N, H, W, 3) -> (N, classes)
+        n = np.asarray(frames).shape[0]
+        probs = np.full((n, 4), 0.25)
+        return probs
+
+    metrics = evaluate_dataset(configuration.get_config(),
+                               class_probability_fn=fake_class_probs)
+    assert np.isclose(metrics["inception_score"], 1.0, atol=1e-6)
+
+    metrics2 = evaluate_dataset(configuration.get_config())
+    assert "inception_score_unavailable" in metrics2
