@@ -60,9 +60,11 @@ def bench_rollout(fn, args, streams: int = 4):
     c, w, chunks = roll(variables, carry, window, actions, variations)
     jax.block_until_ready(chunks)
 
+    # The shared host link is the bottleneck and is noisy run-to-run;
+    # sample enough rollouts for a stable median.
     times = []
     with cf.ThreadPoolExecutor(streams) as pool:
-        for _ in range(5):
+        for _ in range(9):
             start = time.perf_counter()
             c, w, chunks = roll(variables, carry, window, actions, variations)
             frames = list(pool.map(np.asarray, chunks))  # concurrent D2H
