@@ -172,11 +172,19 @@ def main():
     result = {"metric": "play_rollout_fps_256px", "value": 0.0,
               "unit": "frames/sec/chip", "vs_baseline": 0.0, "extra": {}}
     emitted = threading.Event()
+    lock = threading.Lock()  # guards result mutation vs watchdog dump
+
+    def update(mapping, **kw):
+        with lock:
+            mapping.update(kw)
 
     def emit():
-        if not emitted.is_set():
+        with lock:
+            if emitted.is_set():
+                return
+            line = json.dumps(result)
             emitted.set()
-            print(json.dumps(result), flush=True)
+        print(line, flush=True)
 
     # Watchdog THREAD (signals cannot preempt a long-running XLA compile;
     # a thread can): whatever is measured so far reaches the driver even
@@ -189,21 +197,20 @@ def main():
 
     fn, args = entry()
     fps = bench_rollout(fn, args)
-    result["value"] = round(fps, 2)
-    result["vs_baseline"] = round(fps / BASELINE_FPS, 3)
+    update(result, value=round(fps, 2), vs_baseline=round(fps / BASELINE_FPS, 3))
 
     def remaining():
         return budget - (time.perf_counter() - start)
 
-    extra = result["extra"]
     if remaining() > 60:
-        extra["play_interactive_p50_latency_ms"] = round(
-            bench_interactive(fn, args), 2)
+        update(result["extra"], play_interactive_p50_latency_ms=round(
+            bench_interactive(fn, args), 2))
     if os.environ.get("PVG_BENCH_TRAIN", "1") != "0" and remaining() > 120:
         try:
-            extra["train_frames_per_sec"] = round(bench_training(), 2)
+            update(result["extra"],
+                   train_frames_per_sec=round(bench_training(), 2))
         except Exception as e:  # training bench must not sink the headline
-            extra["train_bench_error"] = str(e)[:200]
+            update(result["extra"], train_bench_error=str(e)[:200])
 
     emit()
 

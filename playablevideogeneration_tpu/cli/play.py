@@ -78,6 +78,9 @@ def save_session(frames, actions, output_dir: str, logger: Logger,
     """Saves a play session: PNGs + metadata pickle + the reference's four
     mp4 variants — plain, action-overlay, timecoded, timecoded+overlay
     (reference play.py:182-198, save_video_ffmpeg.py:16-170)."""
+    if not frames:
+        logger.print("- Nothing to save: no frames recorded")
+        return
     os.makedirs(output_dir, exist_ok=True)
     from PIL import Image
 
@@ -103,20 +106,52 @@ def save_session(frames, actions, output_dir: str, logger: Logger,
     logger.print(f"- Session saved to {output_dir}")
 
 
+class SessionRecorder:
+    """Shared session bookkeeping for the interactive front ends: records
+    (frame, action, timestamp) triples, saves on demand, and RESTARTS the
+    generation state on reset (the reference starts a fresh inference
+    session after saving, play.py:182-198)."""
+
+    def __init__(self, session: PlaySession, observation, logger: Logger,
+                 output_dir: str):
+        self.session = session
+        self.observation = observation
+        self.logger = logger
+        self.output_dir = output_dir
+        self.frames, self.actions, self.timestamps = [], [], []
+
+    def step(self, action: int):
+        """Generates one frame for `action`; returns (uint8 frame, ms)."""
+        start = time.perf_counter()
+        # Device-side uint8 conversion: the interactive path is bounded by
+        # the frame readback, not the model compute.
+        frame = self.session.generate_next_u8(action)
+        latency = (time.perf_counter() - start) * 1000
+        self.frames.append(frame)
+        self.actions.append(action)
+        self.timestamps.append(time.time())
+        return frame, latency
+
+    def save_and_reset(self):
+        save_session(self.frames, self.actions,
+                     os.path.join(self.output_dir, f"session_{int(time.time())}"),
+                     self.logger, timestamps=self.timestamps)
+        self.frames, self.actions, self.timestamps = [], [], []
+        if self.observation is not None:
+            self.session.start(self.observation)  # fresh state + window
+
+
 def interactive_loop(session: PlaySession, logger: Logger, output_dir: str,
-                     actions_count: int):
+                     actions_count: int, observation=None):
     """Terminal interactive loop (reference play.py:138-201)."""
-    frames, actions, timestamps = [], [], []
+    recorder = SessionRecorder(session, observation, logger, output_dir)
     logger.print(f"Keys: 1..{actions_count} = action, 0 = save & reset, q = quit")
     while True:
         key = input("action> ").strip()
         if key == "q":
             break
         if key == "0":
-            save_session(frames, actions,
-                         os.path.join(output_dir, f"session_{int(time.time())}"),
-                         logger, timestamps=timestamps)
-            frames, actions, timestamps = [], [], []
+            recorder.save_and_reset()
             continue
         try:
             action = int(key) - 1
@@ -124,56 +159,57 @@ def interactive_loop(session: PlaySession, logger: Logger, output_dir: str,
             continue
         if not 0 <= action < actions_count:
             continue
-        start = time.perf_counter()
-        # Device-side uint8 conversion: the interactive path is bounded by
-        # the frame readback, not the model compute.
-        frame = session.generate_next_u8(action)
-        latency = (time.perf_counter() - start) * 1000
-        frames.append(frame)
-        actions.append(action)
-        timestamps.append(time.time())
-        logger.print(f"frame {len(frames)} action {action} ({latency:.1f} ms)")
+        frame, latency = recorder.step(action)
+        logger.print(f"frame {len(recorder.frames)} action {action} "
+                     f"({latency:.1f} ms)")
 
 
 def window_loop(session: PlaySession, logger: Logger, output_dir: str,
-                actions_count: int, zoom: int = 10):
+                actions_count: int, observation=None, zoom: int = 10):
     """OpenCV window front end (reference play.py:96-198): upscaled frame
-    display, number-key actions (1..N), '0' saves the session and resets,
-    'q' quits.  Requires a display; the terminal loop is the headless
+    display (starting with the initial observation), number-key actions
+    (1..N), '0' saves the session and restarts it, 'q'/ESC or closing the
+    window quits.  Requires a display; the terminal loop is the headless
     fallback."""
     import cv2
 
     window = "playable video generation"
     cv2.namedWindow(window, cv2.WINDOW_NORMAL)
-    frames, actions, timestamps = [], [], []
-    frame = None
+    recorder = SessionRecorder(session, observation, logger, output_dir)
+
+    def initial_frame():
+        if observation is None:
+            return None
+        return frame_to_uint8(np.asarray(observation)[..., :3])
+
+    frame = initial_frame()
     logger.print(f"Keys: 1..{actions_count} = action, 0 = save & reset, q = quit")
     while True:
         if frame is not None:
             display = cv2.resize(frame, (frame.shape[1] * zoom,
                                          frame.shape[0] * zoom),
                                  interpolation=cv2.INTER_NEAREST)
-            cv2.putText(display, f"action {actions[-1]}" if actions else "",
-                        (8, 24), cv2.FONT_HERSHEY_SIMPLEX, 0.8, (0, 255, 255), 2)
+            label = f"action {recorder.actions[-1]}" if recorder.actions else ""
+            cv2.putText(display, label, (8, 24), cv2.FONT_HERSHEY_SIMPLEX,
+                        0.8, (0, 255, 255), 2)
             cv2.imshow(window, cv2.cvtColor(display, cv2.COLOR_RGB2BGR))
+        raw = cv2.waitKey(0)
+        if raw == -1 or cv2.getWindowProperty(
+                window, cv2.WND_PROP_VISIBLE) < 1:
+            break  # window closed by the window manager
         # Mask to 8 bits: GTK/Qt OpenCV builds set modifier bits (NumLock
         # etc.) in the waitKey return value.
-        key = cv2.waitKey(0) & 0xFF
+        key = raw & 0xFF
         if key in (ord("q"), 27):
             break
         action = key - ord("0") - 1  # reference play.py:163-179 key map
         if action == -1:
-            save_session(frames, actions,
-                         os.path.join(output_dir, f"session_{int(time.time())}"),
-                         logger, timestamps=timestamps)
-            frames, actions, timestamps = [], [], []
+            recorder.save_and_reset()
+            frame = initial_frame()
             continue
         if not 0 <= action < actions_count:
             continue
-        frame = session.generate_next_u8(action)
-        frames.append(frame)
-        actions.append(action)
-        timestamps.append(time.time())
+        frame, _latency = recorder.step(action)
     cv2.destroyAllWindows()
 
 
@@ -207,11 +243,13 @@ def main():
 
     if args.window:
         window_loop(session, logger, output_dir,
-                    config_dict["data"]["actions_count"])
+                    config_dict["data"]["actions_count"],
+                    observation=observation)
         return
     if args.interactive:
         interactive_loop(session, logger, output_dir,
-                         config_dict["data"]["actions_count"])
+                         config_dict["data"]["actions_count"],
+                         observation=observation)
         return
 
     rng = np.random.default_rng(0)

@@ -120,31 +120,35 @@ def get_lpips_fn(config, logger=None, vgg_variables=None,
     return lpips_lib.make_lpips_fn(vgg_lib.make_vgg_apply(vgg_variables), heads)
 
 
-def get_fid_extractor(config, logger=None) -> Optional[Any]:
-    from playablevideogeneration_tpu.evaluation.metrics import inception
-
+def _inception_variables(config, logger=None) -> Optional[Dict]:
     path = find_weights(config, "fid_inception")
     if path is None:
         return None
     if logger is not None:
         logger.print(f"- Loading FID InceptionV3 weights from {path}")
-    return inception.make_fid_extractor(load_variables_npz(path))
+    return load_variables_npz(path)
 
 
-def get_class_probability_fn(config, logger=None) -> Optional[Any]:
+def get_fid_extractor(config, logger=None, variables=None) -> Optional[Any]:
+    from playablevideogeneration_tpu.evaluation.metrics import inception
+
+    if variables is None:
+        variables = _inception_variables(config, logger)
+    if variables is None:
+        return None
+    return inception.make_fid_extractor(variables)
+
+
+def get_class_probability_fn(config, logger=None, variables=None) -> Optional[Any]:
     """Inception classifier head (for the Inception Score), available when
     the FID checkpoint carries its 'fc' head (tools/convert_weights.py
     keeps it)."""
     from playablevideogeneration_tpu.evaluation.metrics import inception
 
-    path = find_weights(config, "fid_inception")
-    if path is None:
+    if variables is None:
+        variables = _inception_variables(config, logger)
+    if variables is None or "fc" not in variables.get("params", {}):
         return None
-    variables = load_variables_npz(path)
-    if "fc" not in variables.get("params", {}):
-        return None
-    if logger is not None:
-        logger.print(f"- Loading Inception classifier head from {path}")
     return inception.make_class_probability_fn(variables)
 
 
@@ -163,11 +167,16 @@ def evaluation_backbones(config, logger=None) -> Dict[str, Any]:
     """All pluggable offline-evaluation backbones resolved from config, as
     kwargs for the DatasetEvaluator family."""
     vgg_variables, vgg_pretrained = get_vgg_variables(config, logger)
+    inception_variables = _inception_variables(config, logger)
+    want_is = bool(config.get("evaluation", {}).get(
+        "compute_inception_score", False))
     return dict(
         vgg_variables=vgg_variables if vgg_pretrained else None,
         lpips_fn=get_lpips_fn(config, logger, vgg_variables=vgg_variables,
                               vgg_pretrained=vgg_pretrained),
-        fid_extractor=get_fid_extractor(config, logger),
+        fid_extractor=get_fid_extractor(config, logger,
+                                        variables=inception_variables),
         fvd_embedder=get_fvd_embedder(config, logger),
-        class_probability_fn=get_class_probability_fn(config, logger),
+        class_probability_fn=(get_class_probability_fn(
+            config, logger, variables=inception_variables) if want_is else None),
     )

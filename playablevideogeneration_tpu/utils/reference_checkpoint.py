@@ -206,7 +206,9 @@ def load_reference_checkpoint(path: str) -> Dict:
     model weights; returns flax variables."""
     import torch
 
-    payload = torch.load(path, map_location="cpu", weights_only=False)
+    # weights_only: the reference checkpoint format is tensors + primitives
+    # (trainer.py:80-100); never execute pickle code from downloaded files.
+    payload = torch.load(path, map_location="cpu", weights_only=True)
     state_dict = payload["model"] if isinstance(payload, dict) and \
         "model" in payload else payload
     return convert_reference_state_dict(
