@@ -72,6 +72,8 @@ class Configuration:
         c.setdefault("tpu", {})
         c["tpu"].setdefault("compute_dtype", "float32")  # or "bfloat16"
         c["tpu"].setdefault("data_parallel_devices", None)  # None = all
+        c["tpu"].setdefault("model_parallel", 1)  # tensor-parallel axis size
+        c["tpu"].setdefault("tp_min_channels", 256)  # narrower kernels replicate
         c["tpu"].setdefault("donate_state", True)
         c["tpu"].setdefault("prefetch_batches", 2)
         # Rematerialize scan activations (jax.checkpoint over time): ~1/3

@@ -56,6 +56,67 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def param_shardings(mesh: Mesh, params, min_channels: int = 256):
+    """Tensor-parallel sharding rules for the parameter tree.
+
+    Wide convolution/dense kernels shard their OUTPUT-channel axis over the
+    'model' mesh axis; everything else replicates.  XLA's GSPMD propagates
+    the activation shardings and inserts the ICI collectives — no manual
+    communication.  With model axis size 1 (the default) every rule is
+    replication, so data-parallel behavior is unchanged.
+
+    :param min_channels: only kernels at least this wide shard; small
+        layers gain nothing from splitting and pay collective latency.
+    """
+    model_size = mesh.shape[MODEL_AXIS]
+    replicated = replicated_sharding(mesh)
+
+    def rule(path, leaf):
+        last = getattr(path[-1], "key", None)
+        if (model_size > 1 and last == "kernel" and leaf.ndim >= 2
+                and leaf.shape[-1] >= min_channels
+                and leaf.shape[-1] % model_size == 0):
+            spec = [None] * (leaf.ndim - 1) + [MODEL_AXIS]
+            return NamedSharding(mesh, P(*spec))
+        return replicated
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def place_state(mesh: Mesh, state, min_channels: int = 256):
+    """Places a TrainState: params (and the shape-matched Adam moments in
+    opt_state) follow the tensor-parallel rules; batch_stats, EMA state and
+    scalars replicate."""
+    shardings = param_shardings(mesh, state.params, min_channels)
+    # Optimizer moments mirror the param tree leaf-for-leaf in shape; map
+    # them to the same shardings by shape lookup.
+    shape_to_sharding = {}
+    for leaf, sharding in zip(jax.tree.leaves(state.params),
+                              jax.tree.leaves(shardings)):
+        if sharding.spec != P():
+            shape_to_sharding.setdefault(leaf.shape, sharding)
+
+    replicated = replicated_sharding(mesh)
+
+    def place_param(leaf, sharding):
+        return jax.device_put(leaf, sharding)
+
+    def place_other(leaf):
+        sharding = shape_to_sharding.get(getattr(leaf, "shape", ()), replicated)
+        return jax.device_put(leaf, sharding)
+
+    return state.replace(
+        params=jax.tree.map(place_param, state.params, shardings),
+        opt_state=jax.tree.map(place_other, state.opt_state),
+        batch_stats=jax.tree.map(lambda x: jax.device_put(x, replicated),
+                                 state.batch_stats),
+        model_state=jax.tree.map(lambda x: jax.device_put(x, replicated),
+                                 state.model_state),
+        mi_matrix=jax.device_put(state.mi_matrix, replicated),
+        step=jax.device_put(state.step, replicated),
+    )
+
+
 def put_batch(mesh: Mesh, array):
     """Places one host batch array with the batch axis sharded on 'data'.
 

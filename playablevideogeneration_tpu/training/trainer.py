@@ -161,7 +161,8 @@ def compute_loss_terms(
     info.update(diag)
 
     # Arrays for the action-space plots (reference trainer.py:543-548);
-    # only materialized by the plotting variant of the train step.
+    # a few KB, returned from every step (a dedicated plot-step program
+    # would recompile the whole train step).
     plot_arrays = jax.lax.stop_gradient(dict(
         action_directions_distribution=out.action_directions_distribution,
         action_probabilities=p_real,
@@ -190,7 +191,13 @@ class Trainer:
         self.tx = schedules.make_optimizer(config)
         self.lr_schedule = schedules.multistep_lr(
             t["learning_rate"], t["lr_schedule"], t["lr_gamma"])
-        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        if mesh is None:
+            # tpu.model_parallel > 1 activates tensor-parallel sharding of
+            # wide kernels over the 'model' mesh axis (parallel/mesh.py).
+            mesh = mesh_lib.make_mesh(
+                model_parallel=config.get("tpu", {}).get("model_parallel", 1))
+        self.mesh = mesh
+        self._tp_min_channels = config.get("tpu", {}).get("tp_min_channels", 256)
         self._replicated = mesh_lib.replicated_sharding(self.mesh)
         self._batch_sharded = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
 
@@ -252,7 +259,8 @@ class Trainer:
             mi_matrix=losses.init_mi_matrix(self.config["data"]["actions_count"]),
             step=jnp.zeros((), jnp.int32),
         )
-        self.state = mesh_lib.replicate(self.mesh, state)
+        self.state = mesh_lib.place_state(self.mesh, state,
+                                          min_channels=self._tp_min_channels)
         return self.state
 
     def save_checkpoint(self, name: Optional[str] = None):
@@ -264,7 +272,8 @@ class Trainer:
         directory = self.config["logging"]["save_root_directory"]
         path = os.path.join(directory, name if name else "latest")
         self.state = ckpt_lib.restore_checkpoint(path, self.state)
-        self.state = mesh_lib.replicate(self.mesh, self.state)
+        self.state = mesh_lib.place_state(self.mesh, self.state,
+                                          min_channels=self._tp_min_channels)
         self.global_step = int(self.state.step)
 
     def load_reference_weights(self, path: str):
@@ -284,7 +293,8 @@ class Trainer:
             batch_stats=jax.tree.map(jnp.asarray, variables["batch_stats"]),
             model_state=jax.tree.map(jnp.asarray, variables["model_state"]),
         )
-        self.state = mesh_lib.replicate(self.mesh, self.state)
+        self.state = mesh_lib.place_state(self.mesh, self.state,
+                                          min_channels=self._tp_min_channels)
         self.logger.print(f"- Imported reference checkpoint weights from {path}")
 
     # ------------------------------------------------------------------ #
