@@ -344,3 +344,50 @@ def test_pretraining_forward_parity(reference_setup, converted, our_model):
         np.testing.assert_allclose(np.asarray(ours), _nhwc(theirs), **tol)
     np.testing.assert_allclose(np.asarray(our_out.reconstructed_states),
                                _nhwc(ref_recon_states), **tol)
+
+
+def test_interactive_inference_parity(reference_setup, converted, our_model):
+    """Per-frame interactive generation parity: start_inference +
+    generate_next / generate_next_interpolation (reference model.py:561-655)
+    vs the jitted play session."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from playablevideogeneration_tpu.inference.play_session import PlaySession
+
+    ref_model, _ = reference_setup
+    # The inference helpers hard-code .cuda() on fresh tensors
+    # (model.py:554,586-592,639); make it a no-op on this CPU-only host.
+    original_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        rng = np.random.default_rng(5)
+        observation = rng.uniform(-1, 1, (3 * STACKING, H, W)).astype(np.float32)
+
+        ref_model.start_inference()
+        ref_obs = torch.tensor(observation)
+        ref_frames = []
+        for action in (0, 2, 1):
+            with torch.no_grad():
+                frame, ref_obs = ref_model.generate_next(ref_obs, action,
+                                                         noise=False)
+            ref_frames.append(frame.numpy())
+        with torch.no_grad():
+            interp_frame, _ = ref_model.generate_next_interpolation(
+                ref_obs, 0, 2, 0.3)
+
+        import jax
+
+        session = PlaySession(our_model, jax.tree.map(jnp.asarray, converted))
+        session.start(np.transpose(observation, (1, 2, 0)))
+        for action, want in zip((0, 2, 1), ref_frames):
+            got = session.generate_next(action)
+            np.testing.assert_allclose(got, np.transpose(want, (1, 2, 0)),
+                                       rtol=1e-3, atol=2e-4)
+        got_interp = session.generate_next_interpolation(0, 2, 0.3)
+        np.testing.assert_allclose(got_interp,
+                                   np.transpose(interp_frame.numpy(), (1, 2, 0)),
+                                   rtol=1e-3, atol=2e-4)
+    finally:
+        torch.Tensor.cuda = original_cuda
