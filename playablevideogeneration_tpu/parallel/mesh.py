@@ -3,10 +3,12 @@
 The reference's only parallelism is single-process torch DataParallel
 (train.py:67; SURVEY.md §2.6).  The TPU-native design is batch-axis data
 parallelism over the ICI mesh expressed with `jax.sharding`: the batch is
-sharded on the 'data' axis, parameters/optimizer/centroids are replicated,
-and XLA inserts the gradient all-reduces.  A 'model' axis is provisioned in
-the mesh for future tensor sharding of wide layers, unused (size 1) by
-default — the model is small enough that DP is the right decomposition.
+sharded on the 'data' axis and XLA inserts the gradient all-reduces.  The
+'model' axis carries optional tensor parallelism (`param_shardings` /
+`place_state`): wide kernels shard their output channels, GSPMD propagates
+activation shardings and inserts the collectives.  At the default
+model_parallel=1 every rule degenerates to replication, so DP behavior is
+byte-identical.
 """
 from __future__ import annotations
 
@@ -84,30 +86,36 @@ def param_shardings(mesh: Mesh, params, min_channels: int = 256):
 
 
 def place_state(mesh: Mesh, state, min_channels: int = 256):
-    """Places a TrainState: params (and the shape-matched Adam moments in
-    opt_state) follow the tensor-parallel rules; batch_stats, EMA state and
-    scalars replicate."""
+    """Places a TrainState: params and the Adam moments in opt_state follow
+    the tensor-parallel rules; batch_stats, EMA state and scalars
+    replicate.  Optimizer moments are matched STRUCTURALLY: any opt_state
+    subtree whose pytree structure equals the param tree (optax mu/nu)
+    receives the param shardings leaf-for-leaf."""
     shardings = param_shardings(mesh, state.params, min_channels)
-    # Optimizer moments mirror the param tree leaf-for-leaf in shape; map
-    # them to the same shardings by shape lookup.
-    shape_to_sharding = {}
-    for leaf, sharding in zip(jax.tree.leaves(state.params),
-                              jax.tree.leaves(shardings)):
-        if sharding.spec != P():
-            shape_to_sharding.setdefault(leaf.shape, sharding)
-
     replicated = replicated_sharding(mesh)
+    params_treedef = jax.tree_util.tree_structure(state.params)
 
-    def place_param(leaf, sharding):
-        return jax.device_put(leaf, sharding)
-
-    def place_other(leaf):
-        sharding = shape_to_sharding.get(getattr(leaf, "shape", ()), replicated)
-        return jax.device_put(leaf, sharding)
+    def place_opt(node):
+        if jax.tree_util.tree_structure(node) == params_treedef:
+            return jax.tree.map(jax.device_put, node, shardings)
+        if isinstance(node, tuple):  # optax states are (named)tuples
+            mapped = [place_opt(child) for child in node]
+            return type(node)(*mapped) if hasattr(node, "_fields") \
+                else tuple(mapped)
+        if isinstance(node, (list, dict)):
+            items = node.items() if isinstance(node, dict) else enumerate(node)
+            out = type(node)()
+            for key, child in items:
+                if isinstance(node, dict):
+                    out[key] = place_opt(child)
+                else:
+                    out.append(place_opt(child))
+            return out
+        return jax.tree.map(lambda x: jax.device_put(x, replicated), node)
 
     return state.replace(
-        params=jax.tree.map(place_param, state.params, shardings),
-        opt_state=jax.tree.map(place_other, state.opt_state),
+        params=jax.tree.map(jax.device_put, state.params, shardings),
+        opt_state=place_opt(state.opt_state),
         batch_stats=jax.tree.map(lambda x: jax.device_put(x, replicated),
                                  state.batch_stats),
         model_state=jax.tree.map(lambda x: jax.device_put(x, replicated),

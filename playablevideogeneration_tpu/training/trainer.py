@@ -198,6 +198,14 @@ class Trainer:
                 model_parallel=config.get("tpu", {}).get("model_parallel", 1))
         self.mesh = mesh
         self._tp_min_channels = config.get("tpu", {}).get("tp_min_channels", 256)
+        if self.mesh.shape[mesh_lib.MODEL_AXIS] > 1 and jax.process_count() > 1:
+            # Checkpointing a cross-host-sharded state needs orbax sharded
+            # save/restore, which is not wired yet; fail loudly instead of
+            # crashing at the first save_checkpoint.
+            raise NotImplementedError(
+                "tensor parallelism combined with multi-host execution is "
+                "not supported yet (sharded checkpointing); use DP across "
+                "hosts")
         self._replicated = mesh_lib.replicated_sharding(self.mesh)
         self._batch_sharded = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
 
