@@ -193,9 +193,16 @@ class Trainer:
             t["learning_rate"], t["lr_schedule"], t["lr_gamma"])
         if mesh is None:
             # tpu.model_parallel > 1 activates tensor-parallel sharding of
-            # wide kernels over the 'model' mesh axis (parallel/mesh.py).
-            mesh = mesh_lib.make_mesh(
-                model_parallel=config.get("tpu", {}).get("model_parallel", 1))
+            # wide kernels over the 'model' mesh axis (parallel/mesh.py);
+            # tpu.data_parallel_devices caps the mesh to the first
+            # N * model_parallel devices (None = all).
+            tpu_cfg = config.get("tpu", {})
+            model_parallel = tpu_cfg.get("model_parallel", 1)
+            dp_devices = tpu_cfg.get("data_parallel_devices")
+            devices = None
+            if dp_devices is not None:
+                devices = jax.devices()[: dp_devices * model_parallel]
+            mesh = mesh_lib.make_mesh(devices, model_parallel=model_parallel)
         self.mesh = mesh
         self._tp_min_channels = config.get("tpu", {}).get("tp_min_channels", 256)
         if self.mesh.shape[mesh_lib.MODEL_AXIS] > 1 and jax.process_count() > 1:
