@@ -22,12 +22,35 @@ import json
 import os
 import time
 
+# Persistent compile cache: repeat runs on this host skip the (slow,
+# occasionally HTTP-500-flaky) remote TPU compiles entirely.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 BASELINE_FPS = 30.0  # BASELINE.md north-star target
 ROLLOUT_FRAMES = 64
+
+
+def bench_readback_floor_ms() -> float:
+    """p50 cost of one fresh-array device->host readback (256px uint8
+    frame).  This is the hard floor under any interactive per-frame
+    latency on this host: the model computes in well under 1 ms, so a
+    p50 latency near this floor is link-bound, not compute-bound."""
+    make = jax.jit(lambda k: (jax.random.uniform(k, (256, 256, 3)) * 255)
+                   .astype(jnp.uint8))
+    times = []
+    for i in range(7):
+        frame = make(jax.random.PRNGKey(i))
+        jax.block_until_ready(frame)
+        start = time.perf_counter()
+        np.asarray(frame)
+        times.append(time.perf_counter() - start)
+    return float(np.percentile(times, 50)) * 1000.0
 
 
 def bench_rollout(fn, args, streams: int = 4):
@@ -61,10 +84,11 @@ def bench_rollout(fn, args, streams: int = 4):
     jax.block_until_ready(chunks)
 
     # The shared host link is the bottleneck and is noisy run-to-run;
-    # sample enough rollouts for a stable median.
+    # 5 samples give a usable median while leaving budget for the
+    # secondary metrics (round 2 spent it all on 9 samples + compiles).
     times = []
     with cf.ThreadPoolExecutor(streams) as pool:
-        for _ in range(9):
+        for _ in range(5):
             start = time.perf_counter()
             c, w, chunks = roll(variables, carry, window, actions, variations)
             frames = list(pool.map(np.asarray, chunks))  # concurrent D2H
@@ -195,6 +219,12 @@ def main():
 
     threading.Thread(target=watchdog, daemon=True).start()
 
+    # The readback floor contextualizes the interactive p50: ~35 ms of
+    # every per-frame latency on this host is the device->host link, not
+    # the model (compute is ~0.33 ms; see README.md performance notes).
+    update(result["extra"],
+           readback_floor_ms=round(bench_readback_floor_ms(), 2))
+
     fn, args = entry()
     fps = bench_rollout(fn, args)
     update(result, value=round(fps, 2), vs_baseline=round(fps / BASELINE_FPS, 3))
@@ -202,15 +232,19 @@ def main():
     def remaining():
         return budget - (time.perf_counter() - start)
 
-    if remaining() > 60:
+    # Interactive p50 costs one small compile + ~30 x 40 ms of steps.
+    if remaining() > 25:
         update(result["extra"], play_interactive_p50_latency_ms=round(
             bench_interactive(fn, args), 2))
-    if os.environ.get("PVG_BENCH_TRAIN", "1") != "0" and remaining() > 120:
+    if os.environ.get("PVG_BENCH_TRAIN", "1") != "0" and remaining() > 90:
         try:
             update(result["extra"],
                    train_frames_per_sec=round(bench_training(), 2))
         except Exception as e:  # training bench must not sink the headline
             update(result["extra"], train_bench_error=str(e)[:200])
+    else:
+        update(result["extra"],
+               train_bench_skipped=f"budget: {remaining():.0f}s left")
 
     emit()
 

@@ -280,12 +280,20 @@ class DatasetEvaluator:
                            (b.observations for b in self.reference_dataloader),
                            (b.observations for b in self.generated_dataloader))
 
+    def plot_kwargs(self) -> dict:
+        """Dataset-specific plot parameters (reference passes these at the
+        evaluator call sites: dataset_evaluator.py:220-223 uses defaults,
+        dataset_evaluator_bair.py:126-128 inverts axes and clamps limits,
+        dataset_evaluator_breakout.py:140 clamps the 1-D limits)."""
+        return {}
+
     def _plot_action_space(self, actions, movements, actions_count):
         from playablevideogeneration_tpu.evaluation.plotting import density_plots
 
         out_dir = self.config["logging"].get("output_directory")
         if out_dir:
-            density_plots.plot_all(actions, movements, actions_count, out_dir)
+            density_plots.plot_all(actions, movements, actions_count, out_dir,
+                                   **self.plot_kwargs())
 
 
 class DatasetEvaluatorBreakout(DatasetEvaluator):
@@ -297,6 +305,10 @@ class DatasetEvaluatorBreakout(DatasetEvaluator):
 
     def movement_source(self) -> str:
         return "platform"
+
+    def plot_kwargs(self) -> dict:
+        # Reference dataset_evaluator_breakout.py:140.
+        return {"xlim": (-40, 40), "ylim": (-10, 10)}
 
 
 class DatasetEvaluatorBair(DatasetEvaluator):
@@ -326,6 +338,13 @@ class DatasetEvaluatorBair(DatasetEvaluator):
 
     def movement_source(self) -> str:
         return "metadata"
+
+    def plot_kwargs(self) -> dict:
+        # Reference dataset_evaluator_bair.py:126-128 (density limits; the
+        # mean-vector plot there uses tighter (-0.05, 0.05) limits — the
+        # density limits are applied to the whole set here).
+        return {"xlim": (-0.1, 0.1), "ylim": (-0.1, 0.1),
+                "axis_inversion": True}
 
 
 def make_dataset_evaluator(config, logger, reference_dataset, generated_dataset,

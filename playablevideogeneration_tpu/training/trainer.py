@@ -156,6 +156,12 @@ def compute_loss_terms(
         action_variations_mean=jnp.mean(out.action_variations),
         action_mutual_information_loss=mi_loss,
         action_state_distribution_kl_loss=action_state_kl,
+        # Categorical KL between the reconstructed and the real action
+        # distributions.  The reference constructs this loss
+        # (trainer.py:48, losses.py:121) but never weights it into the
+        # total; surfaced here as a pure diagnostic.
+        actions_kl_divergence=losses.kl_divergence_categorical(
+            out.reconstructed_action_logits, out.action_logits),
     )
     diag = {k: jax.lax.stop_gradient(v) for k, v in diag.items()}
     info.update(diag)
@@ -205,14 +211,9 @@ class Trainer:
             mesh = mesh_lib.make_mesh(devices, model_parallel=model_parallel)
         self.mesh = mesh
         self._tp_min_channels = config.get("tpu", {}).get("tp_min_channels", 256)
-        if self.mesh.shape[mesh_lib.MODEL_AXIS] > 1 and jax.process_count() > 1:
-            # Checkpointing a cross-host-sharded state needs orbax sharded
-            # save/restore, which is not wired yet; fail loudly instead of
-            # crashing at the first save_checkpoint.
-            raise NotImplementedError(
-                "tensor parallelism combined with multi-host execution is "
-                "not supported yet (sharded checkpointing); use DP across "
-                "hosts")
+        # TP x multi-host states checkpoint via orbax sharded save/restore
+        # (utils/checkpoint.py): every process writes/reads only its own
+        # shards, so no NotImplementedError guard is needed here anymore.
         self._replicated = mesh_lib.replicated_sharding(self.mesh)
         self._batch_sharded = NamedSharding(self.mesh, P(mesh_lib.DATA_AXIS))
 
