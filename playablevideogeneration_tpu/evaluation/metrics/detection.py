@@ -201,13 +201,22 @@ class TennisPlayerDetector:
 def make_detector(config) -> TennisPlayerDetector:
     """Config-selectable detector backend.
 
-    YAML: ``evaluation.detector: none | blob | <module>:<callable>``.
+    YAML: ``evaluation.detector: none | blob | frcnn | <module>:<callable>``.
+    ``frcnn`` is the reference-fidelity neural path: Faster R-CNN
+    ResNet50-FPN (frcnn.py) with weights converted from the torchvision
+    checkpoint the reference downloads (tennis_player_detector.py:15).
     """
     spec = (config.get("evaluation", {}) or {}).get("detector", "none")
     if spec in (None, "none"):
         return TennisPlayerDetector()
     if spec == "blob":
         return TennisPlayerDetector(backend="blob")
+    if spec == "frcnn":
+        from playablevideogeneration_tpu.evaluation.metrics.frcnn import (
+            frcnn_backend_from_config,
+        )
+
+        return TennisPlayerDetector(backend=frcnn_backend_from_config(config))
     module_name, _, attr = str(spec).partition(":")
     import importlib
 

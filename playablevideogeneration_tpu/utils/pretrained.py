@@ -28,6 +28,7 @@ WEIGHT_FILES = {
     "fid_inception": "fid_inception.npz",
     "i3d": "i3d.npz",
     "lpips_lin": "lpips_lin.npz",
+    "frcnn": "frcnn.npz",
 }
 
 _COLLECTIONS = ("params", "batch_stats")

@@ -90,11 +90,24 @@ def convert_lpips(input_path: str, output_path: str) -> None:
     np.savez(output_path, **out)
 
 
+def convert_frcnn(input_path: str, output_path: str) -> None:
+    """torchvision fasterrcnn_resnet50_fpn (COCO) state_dict -> the JAX
+    detector's variables (evaluation/metrics/frcnn.py), incl. the fc6
+    input-row reorder for the NHWC RoI layout."""
+    from playablevideogeneration_tpu.evaluation.metrics.frcnn import (
+        convert_torch_frcnn_full,
+    )
+
+    variables = convert_torch_frcnn_full(_load_state_dict(input_path))
+    save_variables_npz(variables, output_path)
+
+
 CONVERTERS = {
     "vgg19": convert_vgg19,
     "fid-inception": convert_fid_inception,
     "i3d": convert_i3d,
     "lpips": convert_lpips,
+    "frcnn": convert_frcnn,
 }
 
 
