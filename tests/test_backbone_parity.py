@@ -1,563 +1,431 @@
-"""Forward-parity tests for the ASSEMBLED FID-Inception and I3D graphs.
+"""Forward parity of the ASSEMBLED FID-Inception and I3D graphs.
 
-The VGG19 backbone has a whole-network numerical parity test
-(test_pretrained.py); this file gives the other two pretrained backbones
-the same treatment: torch clones of the reference computations are built
-from torch.nn primitives (torchvision is not installed; the clones follow
-/root/reference/pytorch_fid/inception.py:16-300 and the kinetics-i3d graph
-the reference FVD embeds, /root/reference/evaluation/metrics/fvd.py:67-126),
-their random weights flow through the real converters, and activations are
-compared block-by-block AND through the full graphs.  A mutation test per
-backbone proves the comparison is tight enough to catch a swapped pool
-type.
+The converter/roundtrip tests in test_pretrained.py prove naming; these
+tests prove the *computation*: torch oracles transcribed independently
+from the reference definitions (pytorch_fid/inception.py:16-300 block
+structure = torchvision InceptionV3 with FID pool tweaks; kinetics-i3d
+sonnet graph used by reference evaluation/metrics/fvd.py:67-126) run the
+same random weights as the JAX graphs and must agree elementwise.  Each
+test also runs a deliberately mutated oracle (swapped pool type) and
+asserts the mismatch is detected — so a mis-padded pool or swapped branch
+order in the JAX graph cannot silently pass.
+
+Reduced input sizes (128px / 64px) keep CPU compile time sane while
+exercising every block; the pool windows stay >1x1 at the deepest blocks
+so pool-type mutations remain observable.  Input resizing (the only
+size-dependent stage) is parity-tested separately against
+F.interpolate(bilinear, align_corners=False), the reference's resizer
+(pytorch_fid/inception.py:144-147, evaluation/metrics/fvd.py:39-56).
 """
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-import torch
-import torch.nn as tnn
-import torch.nn.functional as F
 
-from playablevideogeneration_tpu.evaluation.metrics import i3d as i3d_lib
-from playablevideogeneration_tpu.evaluation.metrics import inception as inc_lib
-
-ATOL = 1e-3  # f32 conv stacks on CPU, highest precision
-RTOL = 1e-3
-
-
-def _seed_all(n):
-    torch.manual_seed(n)
-    return np.random.default_rng(n)
+# 94 (inception) / 59 (i3d) chained conv+BN layers accumulate rounding
+# (measured: up to ~1e-3 absolute on O(0.1) activations at f32 — backend
+# conv summation orders differ); activations are O(1) by construction (BN
+# renormalizes each layer).  A structural mistake (wrong pool/pad/branch)
+# shifts activations at the 10-100% level, far above this tolerance — the
+# mutation tests below assert exactly that margin.
+ATOL = 2e-3 if jax.default_backend() == "cpu" else 1e-2
 
 
-def _randomize_bn(module):
-    """Random running stats + affine so BN misuse cannot hide."""
-    for m in module.modules():
-        if isinstance(m, (tnn.BatchNorm2d, tnn.BatchNorm3d)):
-            m.running_mean.normal_(0, 0.5)
-            m.running_var.uniform_(0.5, 2.0)
-            if m.weight is not None:
-                m.weight.data.uniform_(0.5, 1.5)
-            if m.bias is not None:
-                m.bias.data.normal_(0, 0.5)
+def _perturb_variables(variables, seed):
+    """Randomizes BN params/stats after flax init (init gives scale=1,
+    bias=0, mean=0, var=1 — too symmetric to catch BN wiring mistakes)
+    while keeping activations O(1)."""
+    rng = np.random.default_rng(seed)
+
+    def jitter(path, leaf):
+        leaf = np.asarray(leaf)
+        name = str(path[-1].key)
+        if name in ("scale", "var"):
+            return rng.uniform(0.8, 1.2, leaf.shape).astype(np.float32)
+        if name in ("bias", "mean"):
+            return rng.normal(0.0, 0.05, leaf.shape).astype(np.float32)
+        return leaf  # conv kernels keep flax lecun_normal init
+
+    return jax.tree_util.tree_map_with_path(jitter, dict(variables))
 
 
-# ===================================================================== #
-# FID InceptionV3: torch clone (pytorch_fid/inception.py:16-300)        #
-# ===================================================================== #
+# --------------------------------------------------------------------- #
+# torch oracle: FID InceptionV3 (transcribed from pytorch_fid)          #
+# --------------------------------------------------------------------- #
 
 
-class BasicConv2d(tnn.Module):
-    def __init__(self, in_ch, out_ch, **conv_kw):
-        super().__init__()
-        self.conv = tnn.Conv2d(in_ch, out_ch, bias=False, **conv_kw)
-        self.bn = tnn.BatchNorm2d(out_ch, eps=0.001)
+def _t(x):
+    import torch
 
-    def forward(self, x):
-        return F.relu(self.bn(self.conv(x)))
+    return torch.tensor(np.asarray(x, np.float32))
 
 
-def _fid_avg_pool(x):
-    return F.avg_pool2d(x, kernel_size=3, stride=1, padding=1,
-                        count_include_pad=False)
+def _t_basic_conv(x, p, s, stride=1, padding=0):
+    """BasicConv2d: conv(bias=False) + BN(eps=1e-3) + relu
+    (torchvision inception BasicConv2d, used throughout pytorch_fid)."""
+    import torch.nn.functional as F
+
+    w = _t(np.transpose(p["conv"]["kernel"], (3, 2, 0, 1)))
+    x = F.conv2d(x, w, stride=stride, padding=padding)
+    x = F.batch_norm(x, _t(s["bn"]["mean"]), _t(s["bn"]["var"]),
+                     _t(p["bn"]["scale"]), _t(p["bn"]["bias"]),
+                     training=False, eps=1e-3)
+    return F.relu(x)
 
 
-class TInceptionA(tnn.Module):
-    def __init__(self, in_ch, pool_features):
-        super().__init__()
-        self.branch1x1 = BasicConv2d(in_ch, 64, kernel_size=1)
-        self.branch5x5_1 = BasicConv2d(in_ch, 48, kernel_size=1)
-        self.branch5x5_2 = BasicConv2d(48, 64, kernel_size=5, padding=2)
-        self.branch3x3dbl_1 = BasicConv2d(in_ch, 64, kernel_size=1)
-        self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
-        self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, padding=1)
-        self.branch_pool = BasicConv2d(in_ch, pool_features, kernel_size=1)
+def _t_inception_a(x, p, s, pool="avg"):
+    import torch
+    import torch.nn.functional as F
 
-    def forward(self, x):
-        b1 = self.branch1x1(x)
-        b5 = self.branch5x5_2(self.branch5x5_1(x))
-        b3 = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
-        bp = self.branch_pool(_fid_avg_pool(x))
-        return torch.cat([b1, b5, b3, bp], 1)
-
-
-class TInceptionB(tnn.Module):
-    def __init__(self, in_ch):
-        super().__init__()
-        self.branch3x3 = BasicConv2d(in_ch, 384, kernel_size=3, stride=2)
-        self.branch3x3dbl_1 = BasicConv2d(in_ch, 64, kernel_size=1)
-        self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
-        self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, stride=2)
-
-    def forward(self, x):
-        b3 = self.branch3x3(x)
-        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
-        bp = F.max_pool2d(x, kernel_size=3, stride=2)
-        return torch.cat([b3, bd, bp], 1)
+    b1 = _t_basic_conv(x, p["branch1x1"], s["branch1x1"])
+    b5 = _t_basic_conv(x, p["branch5x5_1"], s["branch5x5_1"])
+    b5 = _t_basic_conv(b5, p["branch5x5_2"], s["branch5x5_2"], padding=2)
+    bd = _t_basic_conv(x, p["branch3x3dbl_1"], s["branch3x3dbl_1"])
+    bd = _t_basic_conv(bd, p["branch3x3dbl_2"], s["branch3x3dbl_2"], padding=1)
+    bd = _t_basic_conv(bd, p["branch3x3dbl_3"], s["branch3x3dbl_3"], padding=1)
+    if pool == "avg":  # FID tweak: count_include_pad=False (inception.py:222)
+        bp = F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+    else:
+        bp = F.max_pool2d(x, 3, stride=1, padding=1)
+    bp = _t_basic_conv(bp, p["branch_pool"], s["branch_pool"])
+    return torch.cat([b1, b5, bd, bp], 1)
 
 
-class TInceptionC(tnn.Module):
-    def __init__(self, in_ch, c7):
-        super().__init__()
-        self.branch1x1 = BasicConv2d(in_ch, 192, kernel_size=1)
-        self.branch7x7_1 = BasicConv2d(in_ch, c7, kernel_size=1)
-        self.branch7x7_2 = BasicConv2d(c7, c7, kernel_size=(1, 7),
-                                       padding=(0, 3))
-        self.branch7x7_3 = BasicConv2d(c7, 192, kernel_size=(7, 1),
-                                       padding=(3, 0))
-        self.branch7x7dbl_1 = BasicConv2d(in_ch, c7, kernel_size=1)
-        self.branch7x7dbl_2 = BasicConv2d(c7, c7, kernel_size=(7, 1),
-                                          padding=(3, 0))
-        self.branch7x7dbl_3 = BasicConv2d(c7, c7, kernel_size=(1, 7),
-                                          padding=(0, 3))
-        self.branch7x7dbl_4 = BasicConv2d(c7, c7, kernel_size=(7, 1),
-                                          padding=(3, 0))
-        self.branch7x7dbl_5 = BasicConv2d(c7, 192, kernel_size=(1, 7),
-                                          padding=(0, 3))
-        self.branch_pool = BasicConv2d(in_ch, 192, kernel_size=1)
+def _t_inception_b(x, p, s):
+    import torch
+    import torch.nn.functional as F
 
-    def forward(self, x):
-        b1 = self.branch1x1(x)
-        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
-        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
-            self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
-        bp = self.branch_pool(_fid_avg_pool(x))
-        return torch.cat([b1, b7, bd, bp], 1)
+    b3 = _t_basic_conv(x, p["branch3x3"], s["branch3x3"], stride=2)
+    bd = _t_basic_conv(x, p["branch3x3dbl_1"], s["branch3x3dbl_1"])
+    bd = _t_basic_conv(bd, p["branch3x3dbl_2"], s["branch3x3dbl_2"], padding=1)
+    bd = _t_basic_conv(bd, p["branch3x3dbl_3"], s["branch3x3dbl_3"], stride=2)
+    return torch.cat([b3, bd, F.max_pool2d(x, 3, stride=2)], 1)
 
 
-class TInceptionD(tnn.Module):
-    def __init__(self, in_ch):
-        super().__init__()
-        self.branch3x3_1 = BasicConv2d(in_ch, 192, kernel_size=1)
-        self.branch3x3_2 = BasicConv2d(192, 320, kernel_size=3, stride=2)
-        self.branch7x7x3_1 = BasicConv2d(in_ch, 192, kernel_size=1)
-        self.branch7x7x3_2 = BasicConv2d(192, 192, kernel_size=(1, 7),
-                                         padding=(0, 3))
-        self.branch7x7x3_3 = BasicConv2d(192, 192, kernel_size=(7, 1),
-                                         padding=(3, 0))
-        self.branch7x7x3_4 = BasicConv2d(192, 192, kernel_size=3, stride=2)
+def _t_inception_c(x, p, s):
+    import torch
+    import torch.nn.functional as F
 
-    def forward(self, x):
-        b3 = self.branch3x3_2(self.branch3x3_1(x))
-        b7 = self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
-            self.branch7x7x3_1(x))))
-        bp = F.max_pool2d(x, kernel_size=3, stride=2)
-        return torch.cat([b3, b7, bp], 1)
+    b1 = _t_basic_conv(x, p["branch1x1"], s["branch1x1"])
+    b7 = _t_basic_conv(x, p["branch7x7_1"], s["branch7x7_1"])
+    b7 = _t_basic_conv(b7, p["branch7x7_2"], s["branch7x7_2"], padding=(0, 3))
+    b7 = _t_basic_conv(b7, p["branch7x7_3"], s["branch7x7_3"], padding=(3, 0))
+    bd = _t_basic_conv(x, p["branch7x7dbl_1"], s["branch7x7dbl_1"])
+    bd = _t_basic_conv(bd, p["branch7x7dbl_2"], s["branch7x7dbl_2"], padding=(3, 0))
+    bd = _t_basic_conv(bd, p["branch7x7dbl_3"], s["branch7x7dbl_3"], padding=(0, 3))
+    bd = _t_basic_conv(bd, p["branch7x7dbl_4"], s["branch7x7dbl_4"], padding=(3, 0))
+    bd = _t_basic_conv(bd, p["branch7x7dbl_5"], s["branch7x7dbl_5"], padding=(0, 3))
+    bp = F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+    bp = _t_basic_conv(bp, p["branch_pool"], s["branch_pool"])
+    return torch.cat([b1, b7, bd, bp], 1)
 
 
-class TInceptionE(tnn.Module):
-    """use_max_pool=True is the reference FIDInceptionE_2 (max branch_pool,
-    pytorch_fid/inception.py:291-322); False is FIDInceptionE_1 (avg with
-    count_include_pad=False, lines 258-289)."""
+def _t_inception_d(x, p, s):
+    import torch
+    import torch.nn.functional as F
 
-    def __init__(self, in_ch, use_max_pool):
-        super().__init__()
-        self.use_max_pool = use_max_pool
-        self.branch1x1 = BasicConv2d(in_ch, 320, kernel_size=1)
-        self.branch3x3_1 = BasicConv2d(in_ch, 384, kernel_size=1)
-        self.branch3x3_2a = BasicConv2d(384, 384, kernel_size=(1, 3),
-                                        padding=(0, 1))
-        self.branch3x3_2b = BasicConv2d(384, 384, kernel_size=(3, 1),
-                                        padding=(1, 0))
-        self.branch3x3dbl_1 = BasicConv2d(in_ch, 448, kernel_size=1)
-        self.branch3x3dbl_2 = BasicConv2d(448, 384, kernel_size=3, padding=1)
-        self.branch3x3dbl_3a = BasicConv2d(384, 384, kernel_size=(1, 3),
-                                           padding=(0, 1))
-        self.branch3x3dbl_3b = BasicConv2d(384, 384, kernel_size=(3, 1),
-                                           padding=(1, 0))
-        self.branch_pool = BasicConv2d(in_ch, 192, kernel_size=1)
-
-    def forward(self, x):
-        b1 = self.branch1x1(x)
-        b3 = self.branch3x3_1(x)
-        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
-        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
-        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
-        if self.use_max_pool:
-            bp = F.max_pool2d(x, kernel_size=3, stride=1, padding=1)
-        else:
-            bp = _fid_avg_pool(x)
-        bp = self.branch_pool(bp)
-        return torch.cat([b1, b3, bd, bp], 1)
+    b3 = _t_basic_conv(x, p["branch3x3_1"], s["branch3x3_1"])
+    b3 = _t_basic_conv(b3, p["branch3x3_2"], s["branch3x3_2"], stride=2)
+    b7 = _t_basic_conv(x, p["branch7x7x3_1"], s["branch7x7x3_1"])
+    b7 = _t_basic_conv(b7, p["branch7x7x3_2"], s["branch7x7x3_2"], padding=(0, 3))
+    b7 = _t_basic_conv(b7, p["branch7x7x3_3"], s["branch7x7x3_3"], padding=(3, 0))
+    b7 = _t_basic_conv(b7, p["branch7x7x3_4"], s["branch7x7x3_4"], stride=2)
+    return torch.cat([b3, b7, F.max_pool2d(x, 3, stride=2)], 1)
 
 
-class TorchFIDInception(tnn.Module):
-    """Full FID InceptionV3 (pool3 features + fc head) from primitives."""
+def _t_inception_e(x, p, s, pool):
+    import torch
+    import torch.nn.functional as F
 
-    def __init__(self, num_classes=1008):
-        super().__init__()
-        self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
-        self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
-        self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
-        self.Conv2d_3b_1x1 = BasicConv2d(64, 80, kernel_size=1)
-        self.Conv2d_4a_3x3 = BasicConv2d(80, 192, kernel_size=3)
-        self.Mixed_5b = TInceptionA(192, 32)
-        self.Mixed_5c = TInceptionA(256, 64)
-        self.Mixed_5d = TInceptionA(288, 64)
-        self.Mixed_6a = TInceptionB(288)
-        self.Mixed_6b = TInceptionC(768, 128)
-        self.Mixed_6c = TInceptionC(768, 160)
-        self.Mixed_6d = TInceptionC(768, 160)
-        self.Mixed_6e = TInceptionC(768, 192)
-        self.Mixed_7a = TInceptionD(768)
-        self.Mixed_7b = TInceptionE(1280, use_max_pool=False)
-        self.Mixed_7c = TInceptionE(2048, use_max_pool=True)
-        self.fc = tnn.Linear(2048, num_classes)
-
-    def forward(self, x):
-        x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
-        x = F.max_pool2d(x, kernel_size=3, stride=2)
-        x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))
-        x = F.max_pool2d(x, kernel_size=3, stride=2)
-        x = self.Mixed_5d(self.Mixed_5c(self.Mixed_5b(x)))
-        x = self.Mixed_6e(self.Mixed_6d(self.Mixed_6c(self.Mixed_6b(
-            self.Mixed_6a(x)))))
-        x = self.Mixed_7c(self.Mixed_7b(self.Mixed_7a(x)))
-        features = torch.flatten(F.adaptive_avg_pool2d(x, 1), 1)
-        return features, F.softmax(self.fc(features), dim=1)
+    b1 = _t_basic_conv(x, p["branch1x1"], s["branch1x1"])
+    b3 = _t_basic_conv(x, p["branch3x3_1"], s["branch3x3_1"])
+    b3 = torch.cat([
+        _t_basic_conv(b3, p["branch3x3_2a"], s["branch3x3_2a"], padding=(0, 1)),
+        _t_basic_conv(b3, p["branch3x3_2b"], s["branch3x3_2b"], padding=(1, 0)),
+    ], 1)
+    bd = _t_basic_conv(x, p["branch3x3dbl_1"], s["branch3x3dbl_1"])
+    bd = _t_basic_conv(bd, p["branch3x3dbl_2"], s["branch3x3dbl_2"], padding=1)
+    bd = torch.cat([
+        _t_basic_conv(bd, p["branch3x3dbl_3a"], s["branch3x3dbl_3a"], padding=(0, 1)),
+        _t_basic_conv(bd, p["branch3x3dbl_3b"], s["branch3x3dbl_3b"], padding=(1, 0)),
+    ], 1)
+    if pool == "avg":   # FIDInceptionE_1 (pytorch_fid inception.py:283)
+        bp = F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+    else:               # FIDInceptionE_2 (pytorch_fid inception.py:318)
+        bp = F.max_pool2d(x, 3, stride=1, padding=1)
+    bp = _t_basic_conv(bp, p["branch_pool"], s["branch_pool"])
+    return torch.cat([b1, b3, bd, bp], 1)
 
 
-def _convert_wrapped(torch_module, name):
-    """state_dict of a block wrapped under `name` -> converted subtree."""
-    wrapper = tnn.Module()
-    wrapper.add_module(name, torch_module)
-    state = {k: v.numpy() for k, v in wrapper.state_dict().items()
-             if "num_batches_tracked" not in k}
-    converted = inc_lib.convert_torch_inception(state)
-    return {"params": converted["params"][name],
-            "batch_stats": converted["batch_stats"][name]}
+def _torch_fid_inception(x_nhwc, variables, mutate=None):
+    """Full pytorch_fid forward (blocks 0-3) from torch primitives,
+    returning every Mixed-block output plus the pool3 vector — per-block
+    comparison means an early-block error cannot attenuate to the noise
+    floor by pool3 (measured: a Mixed_5b pool swap is invisible at pool3
+    but obvious at the Mixed_5b output).  `mutate` swaps one pool type to
+    prove test sensitivity."""
+    import torch
+    import torch.nn.functional as F
 
-
-INCEPTION_BLOCKS = [
-    # (jax block, torch block factory, in_ch, spatial) at real graph sizes
-    ("A_5b", lambda: inc_lib.InceptionA(32), lambda: TInceptionA(192, 32),
-     192, 35),
-    ("B_6a", lambda: inc_lib.InceptionB(), lambda: TInceptionB(288), 288, 35),
-    ("C_6b", lambda: inc_lib.InceptionC(128), lambda: TInceptionC(768, 128),
-     768, 17),
-    ("D_7a", lambda: inc_lib.InceptionD(), lambda: TInceptionD(768), 768, 17),
-    ("E_7b_avg", lambda: inc_lib.InceptionE(use_max_pool=False),
-     lambda: TInceptionE(1280, use_max_pool=False), 1280, 8),
-    ("E_7c_max", lambda: inc_lib.InceptionE(use_max_pool=True),
-     lambda: TInceptionE(2048, use_max_pool=True), 2048, 8),
-]
-
-
-@pytest.mark.parametrize("name,jax_block,torch_block,in_ch,size",
-                         INCEPTION_BLOCKS, ids=[b[0] for b in INCEPTION_BLOCKS])
-def test_inception_block_forward_parity(name, jax_block, torch_block,
-                                        in_ch, size):
-    rng = _seed_all(11)
-    tblock = torch_block().eval()
-    _randomize_bn(tblock)
-    variables = _convert_wrapped(tblock, "Mixed_X")
-
-    x = rng.normal(size=(2, size, size, in_ch)).astype(np.float32) * 0.5
+    p, s = variables["params"], variables["batch_stats"]
+    x = _t(np.transpose(x_nhwc, (0, 3, 1, 2)))
+    taps = {}
     with torch.no_grad():
-        want = tblock(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+        # resize_input (identity at the test size) + normalize_input to
+        # [-1, 1] (pytorch_fid inception.py:143-150)
+        x = F.interpolate(x, size=x.shape[2:], mode="bilinear",
+                          align_corners=False)
+        x = 2.0 * x - 1.0
+        # Block 0 (pytorch_fid inception.py:83-90)
+        x = _t_basic_conv(x, p["Conv2d_1a_3x3"], s["Conv2d_1a_3x3"], stride=2)
+        x = _t_basic_conv(x, p["Conv2d_2a_3x3"], s["Conv2d_2a_3x3"])
+        x = _t_basic_conv(x, p["Conv2d_2b_3x3"], s["Conv2d_2b_3x3"], padding=1)
+        x = F.max_pool2d(x, 3, stride=2)
+        # Block 1 (inception.py:92-98)
+        x = _t_basic_conv(x, p["Conv2d_3b_1x1"], s["Conv2d_3b_1x1"])
+        x = _t_basic_conv(x, p["Conv2d_4a_3x3"], s["Conv2d_4a_3x3"])
+        x = F.max_pool2d(x, 3, stride=2)
+        # Block 2 (inception.py:101-110)
+        a_pool = "max" if mutate == "a_pool" else "avg"
+        x = taps["Mixed_5b"] = _t_inception_a(x, p["Mixed_5b"], s["Mixed_5b"],
+                                              pool=a_pool)
+        x = taps["Mixed_5c"] = _t_inception_a(x, p["Mixed_5c"], s["Mixed_5c"])
+        x = taps["Mixed_5d"] = _t_inception_a(x, p["Mixed_5d"], s["Mixed_5d"])
+        x = taps["Mixed_6a"] = _t_inception_b(x, p["Mixed_6a"], s["Mixed_6a"])
+        x = taps["Mixed_6b"] = _t_inception_c(x, p["Mixed_6b"], s["Mixed_6b"])
+        x = taps["Mixed_6c"] = _t_inception_c(x, p["Mixed_6c"], s["Mixed_6c"])
+        x = taps["Mixed_6d"] = _t_inception_c(x, p["Mixed_6d"], s["Mixed_6d"])
+        x = taps["Mixed_6e"] = _t_inception_c(x, p["Mixed_6e"], s["Mixed_6e"])
+        # Block 3 (inception.py:113-123): 7b avg (E_1), 7c max (E_2)
+        x = taps["Mixed_7a"] = _t_inception_d(x, p["Mixed_7a"], s["Mixed_7a"])
+        pools = ("max", "avg") if mutate == "e_pool" else ("avg", "max")
+        x = taps["Mixed_7b"] = _t_inception_e(x, p["Mixed_7b"], s["Mixed_7b"],
+                                              pool=pools[0])
+        x = taps["Mixed_7c"] = _t_inception_e(x, p["Mixed_7c"], s["Mixed_7c"],
+                                              pool=pools[1])
+        x = F.adaptive_avg_pool2d(x, (1, 1))
+    taps = {k: np.transpose(v.numpy(), (0, 2, 3, 1)) for k, v in taps.items()}
+    taps["pool3"] = x.numpy().reshape(x.shape[0], -1)
+    return taps
+
+
+def _capture_mixed(model, variables, x):
+    """apply() with every top-level Mixed_* block output captured, plus
+    the final output."""
+    out, state = model.apply(
+        variables, x, capture_intermediates=lambda mdl, method: (
+            method == "__call__" and mdl.name is not None
+            and mdl.name.startswith("Mixed")))
+    taps = {name: np.asarray(v["__call__"][0])
+            for name, v in state["intermediates"].items()}
+    return np.asarray(out), taps
+
+
+def _assert_tap_parity(got_taps, want_taps, where=""):
+    for name, want in want_taps.items():
+        got = got_taps[name]
+        assert got.shape == want.shape, name
+        scale = float(np.abs(want).max())
+        assert np.isfinite(scale) and scale > 1e-3, name  # non-degenerate
+        np.testing.assert_allclose(
+            got, want, atol=ATOL * max(scale, 0.1), rtol=5e-3,
+            err_msg=f"{where}{name}")
+
+
+@pytest.fixture(scope="module")
+def inception_case():
+    from playablevideogeneration_tpu.evaluation.metrics.inception import (
+        InceptionV3FID,
+    )
+
+    size = 128  # deepest blocks at 2x2: pool mutations stay observable
+    model = InceptionV3FID(input_size=size)
+    variables = _perturb_variables(
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3))), 11)
+    x = np.random.default_rng(2).uniform(
+        0, 1, (2, size, size, 3)).astype(np.float32)
     with jax.default_matmul_precision("highest"):
-        got = np.asarray(jax_block().apply(variables, jnp.asarray(x)))
-    np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 1)),
-                               atol=ATOL, rtol=RTOL)
+        out, taps = _capture_mixed(model, variables, jnp.asarray(x))
+    taps["pool3"] = out
+    return variables, x, taps
 
 
-def test_inception_full_graph_forward_parity():
-    """Whole assembled graph, stem through pool3 + classifier head, with
-    shared random weights through the real converter.  Input fed at the
-    graph's native resolution (resize becomes identity; resize parity is
-    its own test below)."""
-    rng = _seed_all(12)
-    net = TorchFIDInception(num_classes=11).eval()
-    _randomize_bn(net)
-    state = {k: v.numpy() for k, v in net.state_dict().items()
-             if "num_batches_tracked" not in k}
-    variables = inc_lib.convert_torch_inception(state)
+def test_fid_inception_full_graph_matches_torch(inception_case):
+    variables, x, got_taps = inception_case
+    want_taps = _torch_fid_inception(x, variables)
+    assert got_taps["pool3"].shape == want_taps["pool3"].shape == (2, 2048)
+    assert set(want_taps) <= set(got_taps)  # all 11 Mixed blocks + pool3
+    assert len(want_taps) == 12
+    _assert_tap_parity(got_taps, want_taps)
 
-    size = 96  # every layer exercised; 10x cheaper than 299
-    x = rng.uniform(0, 1, (2, size, size, 3)).astype(np.float32)
+
+@pytest.mark.parametrize("mutate,block", [("a_pool", "Mixed_5b"),
+                                          ("e_pool", "Mixed_7b")])
+def test_fid_inception_catches_pool_mutations(inception_case, mutate, block):
+    """Swapping avg<->max in Mixed_5b or Mixed_7b/7c must fail the
+    per-block tolerance above at the mutated block — proves the parity
+    test has teeth at every depth."""
+    variables, x, got_taps = inception_case
+    mutated = _torch_fid_inception(x, variables, mutate=mutate)[block]
+    scale = float(np.abs(mutated).max())
+    assert np.abs(got_taps[block] - mutated).max() > 20 * ATOL * max(scale, 0.1)
+
+
+# --------------------------------------------------------------------- #
+# torch oracle: I3D (transcribed from kinetics-i3d / sonnet)            #
+# --------------------------------------------------------------------- #
+
+
+def _pad_same_3d(x, kernel, strides, value=0.0):
+    """TF 'SAME' padding for NCDHW torch tensors (sonnet snt.Conv3D and
+    tf.nn.max_pool3d semantics: total = max((ceil(n/s)-1)*s + k - n, 0),
+    split low-first)."""
+    import torch.nn.functional as F
+
+    pads = []  # F.pad wants last-dim-first: (Wlo, Whi, Hlo, Hhi, Dlo, Dhi)
+    for dim, k, s_ in zip((4, 3, 2), reversed(kernel), reversed(strides)):
+        n = x.shape[dim]
+        out = -(-n // s_)
+        total = max((out - 1) * s_ + k - n, 0)
+        pads.extend([total // 2, total - total // 2])
+    # strides were reversed above to match F.pad's W,H,D order
+    return F.pad(x, pads, value=value)
+
+
+def _t_unit3d(x, p, s, kernel, strides=(1, 1, 1)):
+    """sonnet Unit3D: SAME conv3d (no bias) + BN(scale=False, eps=1e-3)
+    + relu (kinetics-i3d i3d.py Unit3D, referenced via fvd.py:67-126)."""
+    import torch.nn.functional as F
+
+    w = _t(np.transpose(p["conv3d"]["kernel"], (4, 3, 0, 1, 2)))  # DHWIO->OIDHW
+    x = F.conv3d(_pad_same_3d(x, kernel, strides), w, stride=strides)
+    x = F.batch_norm(x, _t(s["bn"]["mean"]), _t(s["bn"]["var"]),
+                     None, _t(p["bn"]["bias"]), training=False, eps=1e-3)
+    return F.relu(x)
+
+
+def _t_max_pool_same_3d(x, kernel, strides):
+    import torch.nn.functional as F
+
+    return F.max_pool3d(_pad_same_3d(x, kernel, strides, value=-np.inf),
+                        kernel, stride=strides)
+
+
+def _t_inception_module(x, p, s, branch3_pool="max"):
+    import torch
+
+    b0 = _t_unit3d(x, p["Branch_0"], s["Branch_0"], (1, 1, 1))
+    b1 = _t_unit3d(x, p["Branch_1a"], s["Branch_1a"], (1, 1, 1))
+    b1 = _t_unit3d(b1, p["Branch_1b"], s["Branch_1b"], (3, 3, 3))
+    b2 = _t_unit3d(x, p["Branch_2a"], s["Branch_2a"], (1, 1, 1))
+    b2 = _t_unit3d(b2, p["Branch_2b"], s["Branch_2b"], (3, 3, 3))
+    if branch3_pool == "max":
+        b3 = _t_max_pool_same_3d(x, (3, 3, 3), (1, 1, 1))
+    else:  # mutation: avg pool instead of the reference's max pool
+        import torch.nn.functional as F
+
+        b3 = F.avg_pool3d(_pad_same_3d(x, (3, 3, 3), (1, 1, 1)),
+                          (3, 3, 3), stride=(1, 1, 1))
+    b3 = _t_unit3d(b3, p["Branch_3b"], s["Branch_3b"], (1, 1, 1))
+    return torch.cat([b0, b1, b2, b3], 1)
+
+
+def _torch_i3d(videos_ntHWC, variables, mutate=None):
+    """Full kinetics-i3d forward to the FVD embedding (the averaged 400-dim
+    logits, reference fvd.py:118-126) from torch primitives, NCDHW.
+    Returns per-Mixed-block taps (NTHWC) plus the final 'logits'."""
+    import torch
+    import torch.nn.functional as F
+
+    p, s = variables["params"], variables["batch_stats"]
+    x = _t(np.transpose(videos_ntHWC, (0, 4, 1, 2, 3)))  # NTHWC -> NCDHW
+    x = 2.0 * x - 1.0  # fvd.py:39-56 preprocessing
+    taps = {}
     with torch.no_grad():
-        want_feats, want_probs = net(
-            torch.tensor(np.transpose(x, (0, 3, 1, 2))) * 2.0 - 1.0)
+        x = _t_unit3d(x, p["Conv3d_1a_7x7"], s["Conv3d_1a_7x7"],
+                      (7, 7, 7), (2, 2, 2))
+        x = _t_max_pool_same_3d(x, (1, 3, 3), (1, 2, 2))
+        x = _t_unit3d(x, p["Conv3d_2b_1x1"], s["Conv3d_2b_1x1"], (1, 1, 1))
+        x = _t_unit3d(x, p["Conv3d_2c_3x3"], s["Conv3d_2c_3x3"], (3, 3, 3))
+        x = _t_max_pool_same_3d(x, (1, 3, 3), (1, 2, 2))
+        pool3b = "avg" if mutate == "branch3_pool" else "max"
+        x = taps["Mixed_3b"] = _t_inception_module(x, p["Mixed_3b"],
+                                                   s["Mixed_3b"], pool3b)
+        x = taps["Mixed_3c"] = _t_inception_module(x, p["Mixed_3c"], s["Mixed_3c"])
+        x = _t_max_pool_same_3d(x, (3, 3, 3), (2, 2, 2))
+        for name in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e", "Mixed_4f"):
+            x = taps[name] = _t_inception_module(x, p[name], s[name])
+        x = _t_max_pool_same_3d(x, (2, 2, 2), (2, 2, 2))
+        x = taps["Mixed_5b"] = _t_inception_module(x, p["Mixed_5b"], s["Mixed_5b"])
+        x = taps["Mixed_5c"] = _t_inception_module(x, p["Mixed_5c"], s["Mixed_5c"])
+        # Logits head: avg_pool (2, full, full) stride 1 VALID, 1x1x1 conv
+        # with bias, mean over remaining dims (fvd.py:118-126; the (2,7,7)
+        # window equals the full 7x7 map at the reference's 224 input).
+        tw = min(2, x.shape[2])
+        x = F.avg_pool3d(x, (tw, x.shape[3], x.shape[4]), stride=(1, 1, 1))
+        w = _t(np.transpose(p["Logits_Conv3d_0c_1x1"]["kernel"], (4, 3, 0, 1, 2)))
+        x = F.conv3d(x, w, bias=_t(p["Logits_Conv3d_0c_1x1"]["bias"]))
+        x = x.mean(dim=(2, 3, 4))
+    taps = {k: np.transpose(v.numpy(), (0, 2, 3, 4, 1)) for k, v in taps.items()}
+    taps["logits"] = x.numpy()
+    return taps
 
-    model = inc_lib.InceptionV3FID(input_size=size)
-    backbone = {"params": {k: v for k, v in variables["params"].items()
-                           if k != "fc"},
-                "batch_stats": variables["batch_stats"]}
+
+@pytest.fixture(scope="module")
+def i3d_case():
+    from playablevideogeneration_tpu.evaluation.metrics.i3d import (
+        I3D,
+        random_i3d_variables,
+    )
+
+    size, frames = 64, 8  # Mixed_5x at 2x2x2: pool mutations observable
+    variables = _perturb_variables(
+        random_i3d_variables(jax.random.PRNGKey(3), frames=frames,
+                             input_size=size), 13)
+    videos = np.random.default_rng(5).uniform(
+        0, 1, (1, frames, size, size, 3)).astype(np.float32)
     with jax.default_matmul_precision("highest"):
-        got_feats = np.asarray(model.apply(backbone, jnp.asarray(x)))
-        kernel = jnp.asarray(variables["params"]["fc"]["kernel"])
-        bias = jnp.asarray(variables["params"]["fc"]["bias"])
-        got_probs = np.asarray(jax.nn.softmax(
-            jnp.asarray(got_feats) @ kernel + bias, axis=-1))
-
-    np.testing.assert_allclose(got_feats, want_feats.numpy(),
-                               atol=5e-3, rtol=1e-2)  # 17 conv-BN layers deep
-    np.testing.assert_allclose(got_probs, want_probs.numpy(), atol=1e-3)
+        out, taps = _capture_mixed(I3D(input_size=size), variables,
+                                   jnp.asarray(videos))
+    taps["logits"] = out
+    return variables, videos, taps
 
 
-def test_inception_resize_matches_torch_bilinear():
-    """pytorch_fid resizes inputs to 299x299 with bilinear
-    align_corners=False; jax.image.resize 'linear' must match on the
-    upscaling path every real frame takes (<=256px -> 299)."""
-    rng = _seed_all(13)
-    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
-    want = F.interpolate(torch.tensor(np.transpose(x, (0, 3, 1, 2))),
-                         size=(299, 299), mode="bilinear",
-                         align_corners=False).numpy()
+def test_i3d_full_graph_matches_torch(i3d_case):
+    variables, videos, got_taps = i3d_case
+    want_taps = _torch_i3d(videos, variables)
+    assert got_taps["logits"].shape == want_taps["logits"].shape == (1, 400)
+    assert set(want_taps) <= set(got_taps)  # all 9 Mixed blocks + logits
+    assert len(want_taps) == 10
+    _assert_tap_parity(got_taps, want_taps, where="i3d:")
+
+
+def test_i3d_catches_pool_mutation(i3d_case):
+    """avg instead of max in Mixed_3b's pool branch must break per-block
+    parity at Mixed_3b."""
+    variables, videos, got_taps = i3d_case
+    mutated = _torch_i3d(videos, variables, mutate="branch3_pool")["Mixed_3b"]
+    scale = float(np.abs(mutated).max())
+    assert np.abs(got_taps["Mixed_3b"] - mutated).max() > 20 * ATOL * max(scale, 0.1)
+
+
+# --------------------------------------------------------------------- #
+# Input resizing parity (the stage the reduced-size tests bypass)       #
+# --------------------------------------------------------------------- #
+
+
+def test_upsample_resize_matches_torch_bilinear():
+    """jax.image.resize(linear) vs F.interpolate(bilinear,
+    align_corners=False) — the reference's resize-to-299/224 path
+    (pytorch_fid inception.py:144-147, fvd.py:39-56).  Frames are always
+    upsampled (dataset resolutions <= 256), where the two agree."""
+    import torch
+    import torch.nn.functional as F
+
+    x = np.random.default_rng(6).uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
     got = np.asarray(jax.image.resize(jnp.asarray(x), (2, 299, 299, 3),
                                       method="linear"))
+    want = F.interpolate(_t(np.transpose(x, (0, 3, 1, 2))), size=(299, 299),
+                         mode="bilinear", align_corners=False).numpy()
     np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 1)),
                                atol=1e-5, rtol=1e-5)
-
-
-def test_inception_parity_catches_swapped_pool_type():
-    """Sensitivity check: comparing the JAX E-block in max-pool mode against
-    the torch E-block in avg-pool mode MUST fail — proves the block parity
-    test can catch exactly the class of bug it exists for."""
-    rng = _seed_all(14)
-    tblock = TInceptionE(1280, use_max_pool=False).eval()
-    _randomize_bn(tblock)
-    variables = _convert_wrapped(tblock, "Mixed_X")
-    x = rng.normal(size=(1, 8, 8, 1280)).astype(np.float32) * 0.5
-    with torch.no_grad():
-        want = tblock(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
-    mutated = np.asarray(inc_lib.InceptionE(use_max_pool=True).apply(
-        variables, jnp.asarray(x)))
-    assert not np.allclose(mutated, np.transpose(want, (0, 2, 3, 1)),
-                           atol=ATOL, rtol=RTOL)
-
-
-# ===================================================================== #
-# I3D: torch clone with TF-SAME padding (kinetics-i3d graph; the        #
-# reference embeds RGB/inception_i3d/Mean:0, fvd.py:67-126)             #
-# ===================================================================== #
-
-
-def _same_pad_3d(x, kernel, stride):
-    """TF/XLA 'SAME' asymmetric padding (extra on the high side)."""
-    pads = []
-    for dim, (k, s) in zip((2, 3, 4), zip(kernel, stride)):
-        n = x.shape[dim]
-        total = max((-(-n // s) - 1) * s + k - n, 0)
-        pads.append((total // 2, total - total // 2))
-    (dl, dr), (hl, hr), (wl, wr) = pads
-    return F.pad(x, (wl, wr, hl, hr, dl, dr))
-
-
-def _same_max_pool_3d(x, kernel, stride):
-    pads = []
-    for dim, (k, s) in zip((2, 3, 4), zip(kernel, stride)):
-        n = x.shape[dim]
-        total = max((-(-n // s) - 1) * s + k - n, 0)
-        pads.append((total // 2, total - total // 2))
-    (dl, dr), (hl, hr), (wl, wr) = pads
-    x = F.pad(x, (wl, wr, hl, hr, dl, dr), value=float("-inf"))
-    return F.max_pool3d(x, kernel, stride)
-
-
-class TUnit3D(tnn.Module):
-    """conv3d(SAME, no bias) + BN(beta only, eps 1e-3) + relu."""
-
-    def __init__(self, in_ch, out_ch, kernel=(1, 1, 1), stride=(1, 1, 1)):
-        super().__init__()
-        self.kernel, self.stride = kernel, stride
-        self.conv = tnn.Conv3d(in_ch, out_ch, kernel, stride, bias=False)
-        self.bn = tnn.BatchNorm3d(out_ch, eps=1e-3)
-        self.bn.weight.data.fill_(1.0)  # sonnet BN: scale disabled
-
-    def forward(self, x):
-        return F.relu(self.bn(self.conv(_same_pad_3d(
-            x, self.kernel, self.stride))))
-
-
-class TInceptionModule3D(tnn.Module):
-    def __init__(self, in_ch, b0, b1a, b1b, b2a, b2b, b3b):
-        super().__init__()
-        self.b0 = TUnit3D(in_ch, b0)
-        self.b1a = TUnit3D(in_ch, b1a)
-        self.b1b = TUnit3D(b1a, b1b, (3, 3, 3))
-        self.b2a = TUnit3D(in_ch, b2a)
-        self.b2b = TUnit3D(b2a, b2b, (3, 3, 3))
-        self.b3b = TUnit3D(in_ch, b3b)
-
-    def forward(self, x):
-        br0 = self.b0(x)
-        br1 = self.b1b(self.b1a(x))
-        br2 = self.b2b(self.b2a(x))
-        br3 = self.b3b(_same_max_pool_3d(x, (3, 3, 3), (1, 1, 1)))
-        return torch.cat([br0, br1, br2, br3], 1)
-
-
-class TorchI3D(tnn.Module):
-    MIXED = {
-        "Mixed_3b": (192, 64, 96, 128, 16, 32, 32),
-        "Mixed_3c": (256, 128, 128, 192, 32, 96, 64),
-        "Mixed_4b": (480, 192, 96, 208, 16, 48, 64),
-        "Mixed_4c": (512, 160, 112, 224, 24, 64, 64),
-        "Mixed_4d": (512, 128, 128, 256, 24, 64, 64),
-        "Mixed_4e": (512, 112, 144, 288, 32, 64, 64),
-        "Mixed_4f": (528, 256, 160, 320, 32, 128, 128),
-        "Mixed_5b": (832, 256, 160, 320, 32, 128, 128),
-        "Mixed_5c": (832, 384, 192, 384, 48, 128, 128),
-    }
-
-    def __init__(self):
-        super().__init__()
-        self.Conv3d_1a_7x7 = TUnit3D(3, 64, (7, 7, 7), (2, 2, 2))
-        self.Conv3d_2b_1x1 = TUnit3D(64, 64)
-        self.Conv3d_2c_3x3 = TUnit3D(64, 192, (3, 3, 3))
-        for name, chans in self.MIXED.items():
-            self.add_module(name, TInceptionModule3D(*chans))
-        self.logits = tnn.Conv3d(1024, 400, (1, 1, 1), bias=True)
-
-    def forward(self, x):
-        x = self.Conv3d_1a_7x7(x)
-        x = _same_max_pool_3d(x, (1, 3, 3), (1, 2, 2))
-        x = self.Conv3d_2c_3x3(self.Conv3d_2b_1x1(x))
-        x = _same_max_pool_3d(x, (1, 3, 3), (1, 2, 2))
-        x = self.Mixed_3c(self.Mixed_3b(x))
-        x = _same_max_pool_3d(x, (3, 3, 3), (2, 2, 2))
-        x = self.Mixed_4f(self.Mixed_4e(self.Mixed_4d(self.Mixed_4c(
-            self.Mixed_4b(x)))))
-        x = _same_max_pool_3d(x, (2, 2, 2), (2, 2, 2))
-        x = self.Mixed_5c(self.Mixed_5b(x))
-        tw = min(2, x.shape[2])
-        x = F.avg_pool3d(x, (tw, x.shape[3], x.shape[4]), stride=1)
-        x = self.logits(x)
-        return x.mean(dim=(2, 3, 4))  # (N, 400) averaged kinetics logits
-
-
-_TORCH_BRANCH_TO_TF = {
-    "b0": ("Branch_0", "Conv3d_0a_1x1"),
-    "b1a": ("Branch_1", "Conv3d_0a_1x1"),
-    "b1b": ("Branch_1", "Conv3d_0b_3x3"),
-    "b2a": ("Branch_2", "Conv3d_0a_1x1"),
-    "b2b": ("Branch_2", "Conv3d_0b_3x3"),
-    "b3b": ("Branch_3", "Conv3d_0b_1x1"),
-}
-
-
-def _unit_tf_vars(unit: TUnit3D, scope: str) -> dict:
-    # torch Conv3d kernels are (O, I, D, H, W); TF stores DHWIO.
-    return {
-        f"{scope}/conv_3d/w": np.transpose(
-            unit.conv.weight.detach().numpy(), (2, 3, 4, 1, 0)),
-        f"{scope}/batch_norm/beta": unit.bn.bias.detach().numpy(),
-        f"{scope}/batch_norm/moving_mean": unit.bn.running_mean.numpy(),
-        f"{scope}/batch_norm/moving_variance": unit.bn.running_var.numpy(),
-    }
-
-
-def _i3d_tf_vars(net: TorchI3D) -> dict:
-    """TF-Hub-style variable dict from the torch clone's tensors — the
-    input format convert_tf_i3d consumes."""
-    root = "RGB/inception_i3d"
-    out = {}
-    for stem in ("Conv3d_1a_7x7", "Conv3d_2b_1x1", "Conv3d_2c_3x3"):
-        out.update(_unit_tf_vars(getattr(net, stem), f"{root}/{stem}"))
-    for mixed in TorchI3D.MIXED:
-        module = getattr(net, mixed)
-        for attr, (branch, conv_name) in _TORCH_BRANCH_TO_TF.items():
-            out.update(_unit_tf_vars(
-                getattr(module, attr), f"{root}/{mixed}/{branch}/{conv_name}"))
-    out[f"{root}/Logits/Conv3d_0c_1x1/conv_3d/w"] = np.transpose(
-        net.logits.weight.detach().numpy(), (2, 3, 4, 1, 0))
-    out[f"{root}/Logits/Conv3d_0c_1x1/conv_3d/b"] = \
-        net.logits.bias.detach().numpy()
-    return out
-
-
-def test_i3d_stem_unit_same_padding_parity():
-    """The 7x7x7 stride-2 stem conv is where TF-SAME asymmetric padding
-    bites hardest; verify the unit in isolation."""
-    rng = _seed_all(21)
-    unit = TUnit3D(3, 8, (7, 7, 7), (2, 2, 2)).eval()
-    _randomize_bn(unit)
-    unit.bn.weight.data.fill_(1.0)  # re-pin after randomization
-    tf_vars = _unit_tf_vars(unit, "RGB/inception_i3d/Conv3d_1a_7x7")
-    converted = i3d_lib.convert_tf_i3d(tf_vars)
-    variables = {"params": converted["params"]["Conv3d_1a_7x7"],
-                 "batch_stats": converted["batch_stats"]["Conv3d_1a_7x7"]}
-
-    x = rng.normal(size=(1, 9, 20, 20, 3)).astype(np.float32) * 0.5
-    with torch.no_grad():
-        want = unit(torch.tensor(np.transpose(x, (0, 4, 1, 2, 3)))).numpy()
-    with jax.default_matmul_precision("highest"):
-        got = np.asarray(i3d_lib.Unit3D(8, (7, 7, 7), (2, 2, 2)).apply(
-            variables, jnp.asarray(x)))
-    np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 4, 1)),
-                               atol=ATOL, rtol=RTOL)
-
-
-def test_i3d_inception_module_forward_parity():
-    rng = _seed_all(22)
-    tmod = TInceptionModule3D(*TorchI3D.MIXED["Mixed_3b"]).eval()
-    _randomize_bn(tmod)
-    for m in tmod.modules():
-        if isinstance(m, tnn.BatchNorm3d):
-            m.weight.data.fill_(1.0)
-    tf_vars = {}
-    for attr, (branch, conv_name) in _TORCH_BRANCH_TO_TF.items():
-        tf_vars.update(_unit_tf_vars(
-            getattr(tmod, attr),
-            f"RGB/inception_i3d/Mixed_3b/{branch}/{conv_name}"))
-    converted = i3d_lib.convert_tf_i3d(tf_vars)
-    variables = {"params": converted["params"]["Mixed_3b"],
-                 "batch_stats": converted["batch_stats"]["Mixed_3b"]}
-
-    x = rng.normal(size=(1, 4, 14, 14, 192)).astype(np.float32) * 0.5
-    with torch.no_grad():
-        want = tmod(torch.tensor(np.transpose(x, (0, 4, 1, 2, 3)))).numpy()
-    with jax.default_matmul_precision("highest"):
-        got = np.asarray(i3d_lib.InceptionModule(
-            64, 96, 128, 16, 32, 32).apply(variables, jnp.asarray(x)))
-    np.testing.assert_allclose(got, np.transpose(want, (0, 2, 3, 4, 1)),
-                               atol=ATOL, rtol=RTOL)
-
-
-def test_i3d_full_graph_forward_parity():
-    """Whole assembled I3D through the real converter: stem, all 9 mixed
-    blocks, every SAME pool, and the averaged-logits head the reference
-    FVD embeds (fvd.py:118-126)."""
-    rng = _seed_all(23)
-    net = TorchI3D().eval()
-    _randomize_bn(net)
-    for m in net.modules():
-        if isinstance(m, tnn.BatchNorm3d):
-            m.weight.data.fill_(1.0)
-    variables = i3d_lib.convert_tf_i3d(_i3d_tf_vars(net))
-
-    size, frames = 64, 16
-    x = rng.uniform(0, 1, (1, frames, size, size, 3)).astype(np.float32)
-    with torch.no_grad():
-        want = net(torch.tensor(
-            np.transpose(x, (0, 4, 1, 2, 3))) * 2.0 - 1.0).numpy()
-    with jax.default_matmul_precision("highest"):
-        got = np.asarray(i3d_lib.I3D(input_size=size).apply(
-            variables, jnp.asarray(x)))
-    np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-2)
-
-
-def test_i3d_parity_catches_valid_vs_same_pool():
-    """Sensitivity: a VALID-padded branch pool instead of SAME must fail."""
-    rng = _seed_all(24)
-    tmod = TInceptionModule3D(*TorchI3D.MIXED["Mixed_3b"]).eval()
-    _randomize_bn(tmod)
-    for m in tmod.modules():
-        if isinstance(m, tnn.BatchNorm3d):
-            m.weight.data.fill_(1.0)
-    x = rng.normal(size=(1, 4, 14, 14, 192)).astype(np.float32) * 0.5
-    with torch.no_grad():
-        want = tmod(torch.tensor(np.transpose(x, (0, 4, 1, 2, 3)))).numpy()
-
-    # Mutated torch clone: branch-3 pool VALID-cropped then resized back.
-    with torch.no_grad():
-        t = torch.tensor(np.transpose(x, (0, 4, 1, 2, 3)))
-        br0, br1 = tmod.b0(t), tmod.b1b(tmod.b1a(t))
-        br2 = tmod.b2b(tmod.b2a(t))
-        bad_pool = F.max_pool3d(t, (3, 3, 3), (1, 1, 1))  # VALID: shrinks
-        bad_pool = F.pad(bad_pool, (1, 1, 1, 1, 1, 1))  # zero-refill
-        br3 = tmod.b3b(bad_pool)
-        mutated = torch.cat([br0, br1, br2, br3], 1).numpy()
-    assert not np.allclose(mutated, want, atol=ATOL, rtol=RTOL)
