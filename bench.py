@@ -121,79 +121,74 @@ def bench_interactive(fn, args):
 
 
 def prepare_training_bench():
-    """Builds + compiles the BAIR-class train step and returns a zero-arg
-    closure that runs the timed loop (frames/sec trained, one chip).
+    """Builds + AOT-compiles the BAIR-class train step WITHOUT touching
+    the chip, and returns a `finalize()` closure that does the first
+    device work (state init, H2D upload, warm-up step) and returns the
+    timed `run()` loop.
 
-    Split so the (minutes-long) remote compile can run in a background
-    thread overlapped with the rollout compile; the timed loop runs later
-    on a quiet chip.
+    Split this way so the (minutes-long) remote compile can run in a
+    background thread overlapped with the TIMED rollout/interactive
+    sections: compilation happens host-side + on the remote compile
+    service, so it cannot pollute chip or link timings — only
+    `finalize()` executes on the device, and main() calls it after the
+    headline metrics are in.
 
     Per-chip batch 8 is the reference's FULL global batch — the workload
     it spreads over 4x 2080 Ti (configs/01_bair.yaml:105-117 +
     README.md:125) runs on one chip here.  Remat over the time scan is
     what makes the 256px workload fit a 16G chip (34G activations
     otherwise)."""
-    from playablevideogeneration_tpu.config.configuration import Configuration
-    from playablevideogeneration_tpu.data.synthetic import make_synthetic_config
-    from playablevideogeneration_tpu.data.video_dataset import Batch
-    from playablevideogeneration_tpu.models.caddy import Caddy
-    from playablevideogeneration_tpu.training.smooth_mi import make_smooth_mi_trainer
-    from playablevideogeneration_tpu.utils.logging import Logger
+    from playablevideogeneration_tpu.training.bench_harness import (
+        build_synthetic_trainer,
+        chained_step_time,
+        make_synthetic_batch,
+    )
 
     B, T, H, W = 8, 12, 256, 256
-    config = make_synthetic_config(
-        data_root="/nonexistent", output_root="/tmp/pvg_bench_train",
-        height=H, width=W, actions_count=7, batch_size=B,
-        observations_count=T, observation_stacking=1,
-        hidden_state_size=128, state_features=64)
-    config["tpu"] = {"compute_dtype": "bfloat16", "remat": True}
-    Configuration(config=config).check_config(check_data_root=False)
-
-    model = Caddy(actions_count=7, action_space_dimension=2, state_features=64,
-                  state_resolution=(H // 8, W // 8), hidden_state_size=128,
-                  observation_stacking=1, remat=True, dtype=jnp.bfloat16)
-
-    class _NullDataset:
-        def set_observations_count(self, n):
-            pass
-
-        def __len__(self):
-            return 0
-
-    trainer = make_smooth_mi_trainer(config, model, _NullDataset(), Logger())
-    rng = np.random.default_rng(0)
-    batch = Batch(
-        observations=rng.normal(size=(B, T, H, W, 3)).astype(np.float32) * 0.1,
-        actions=rng.integers(0, 7, size=(B, T)).astype(np.int32),
-        rewards=np.zeros((B, T), np.float32), dones=np.zeros((B, T), bool),
-        videos=[], initial_frames=[])
-    trainer.init_state(batch)
+    trainer = build_synthetic_trainer(
+        height=H, width=W, batch_size=B, observations_count=T,
+        output_root="/tmp/pvg_bench_train")
+    batch = make_synthetic_batch(batch_size=B, observations_count=T,
+                                 height=H, width=W)
 
     step_fn = trainer._get_train_step(T, pretraining=False)
-    obs = jax.device_put(batch.observations, trainer._batch_sharded)
-    acts = jax.device_put(batch.actions, trainer._batch_sharded)
-    args = (jnp.asarray(4, jnp.int32), jnp.asarray(0.9, jnp.float32))
 
-    state0, metrics = step_fn(trainer.state, obs, acts, *args,
-                              jax.random.PRNGKey(1), trainer.vgg_variables)
-    float(metrics["loss"])  # warm up; host readback forces execution
+    def aval(x):
+        # Metadata only — no np.asarray(), which would read device
+        # buffers back over the link.
+        return jax.ShapeDtypeStruct(np.shape(x), x.dtype)
 
-    def run() -> float:
-        # Time a CHAIN of steps ending in a host readback: per-step
-        # block_until_ready can report async-dispatch time, not execution,
-        # on tunneled backends — the state dependency chain cannot lie.
-        state = state0
-        n = 10
-        start = time.perf_counter()
-        for i in range(n):
-            state, metrics = step_fn(state, obs, acts, *args,
-                                     jax.random.PRNGKey(2 + i),
-                                     trainer.vgg_variables)
-        assert np.isfinite(float(metrics["loss"]))
-        step_time = (time.perf_counter() - start) / n
-        return B * T / step_time
+    compiled = step_fn.lower(
+        trainer.abstract_state(batch),
+        jax.ShapeDtypeStruct((B, T, H, W, 3), jnp.float32),
+        jax.ShapeDtypeStruct((B, T), jnp.int32),
+        jax.ShapeDtypeStruct((), jnp.int32),
+        jax.ShapeDtypeStruct((), jnp.float32),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),  # legacy PRNGKey layout
+        jax.tree.map(aval, trainer.vgg_variables),
+    ).compile()
 
-    return run
+    def finalize() -> "callable":
+        trainer.init_state(batch)
+        obs = jax.device_put(batch.observations, trainer._batch_sharded)
+        acts = jax.device_put(batch.actions, trainer._batch_sharded)
+        args = (jnp.asarray(4, jnp.int32), jnp.asarray(0.9, jnp.float32))
+
+        state0, metrics = compiled(trainer.state, obs, acts, *args,
+                                   jax.random.PRNGKey(1),
+                                   trainer.vgg_variables)
+        float(metrics["loss"])  # warm up; host readback forces execution
+
+        def run() -> float:
+            step_time, loss = chained_step_time(
+                compiled, state0, obs, acts, *args,
+                vgg_variables=trainer.vgg_variables, steps=10)
+            assert np.isfinite(loss)
+            return B * T / step_time
+
+        return run
+
+    return finalize
 
 
 def main():
@@ -252,14 +247,16 @@ def main():
 
     # Remote TPU compiles are the budget's long pole (minutes each, and
     # the axon backend has no persistent executable cache), so the train
-    # step compiles in a BACKGROUND thread overlapped with the rollout
-    # compile; its timed loop runs later on a quiet chip.
+    # step AOT-compiles in a BACKGROUND thread — compile work never
+    # touches the chip, so it cannot pollute the timed rollout or
+    # interactive sections; the device-side finalize + timed loop run
+    # later on a quiet chip.
     train_box = {}
 
     def train_prep():
         t = time.perf_counter()
         try:
-            train_box["run"] = prepare_training_bench()
+            train_box["finalize"] = prepare_training_bench()
         except Exception as e:  # training bench must not sink the headline
             train_box["error"] = str(e)[:200]
         with lock:
@@ -279,16 +276,23 @@ def main():
             timed("interactive", bench_interactive, fn, args), 2))
 
     if train_thread is not None:
-        train_thread.join(timeout=max(remaining() - 45, 0))
-        if "run" in train_box and remaining() > 30:
-            update(result["extra"], train_frames_per_sec=round(
-                timed("train_run", train_box["run"]), 2))
-        elif "error" in train_box:
-            update(result["extra"], train_bench_error=train_box["error"])
-        else:
-            update(result["extra"], train_bench_skipped=(
-                f"budget: {remaining():.0f}s left, "
-                f"compile done: {'run' in train_box}"))
+        train_thread.join(timeout=max(remaining() - 60, 0))
+        try:
+            if "finalize" in train_box and remaining() > 45:
+                # First device work for the train bench happens HERE,
+                # after the headline metrics are in.
+                run = timed("train_warmup", train_box["finalize"])
+                update(result["extra"], train_frames_per_sec=round(
+                    timed("train_run", run), 2))
+            elif "error" in train_box:
+                update(result["extra"], train_bench_error=train_box["error"])
+            else:
+                update(result["extra"], train_bench_skipped=(
+                    f"budget: {remaining():.0f}s left, "
+                    f"compile done: {'finalize' in train_box}"))
+        except Exception as e:  # a flaky train step must not sink the
+            update(result["extra"],  # already-measured headline metrics
+                   train_bench_error=str(e)[:200])
 
     emit()
 

@@ -260,14 +260,10 @@ class Trainer:
     # State init / checkpointing                                          #
     # ------------------------------------------------------------------ #
 
-    def init_state(self, sample_batch) -> TrainState:
-        rng, self._rng = jax.random.split(self._rng)
-        variables = init_model_variables(
-            self.model, rng,
-            jnp.asarray(sample_batch.observations),
-            jnp.asarray(sample_batch.actions))
+    def _build_state(self, rng, observations, actions) -> TrainState:
+        variables = init_model_variables(self.model, rng, observations, actions)
         params = variables["params"]
-        state = TrainState(
+        return TrainState(
             params=params,
             opt_state=self.tx.init(params),
             batch_stats=variables.get("batch_stats", {}),
@@ -275,9 +271,26 @@ class Trainer:
             mi_matrix=losses.init_mi_matrix(self.config["data"]["actions_count"]),
             step=jnp.zeros((), jnp.int32),
         )
+
+    def init_state(self, sample_batch) -> TrainState:
+        rng, self._rng = jax.random.split(self._rng)
+        state = self._build_state(rng,
+                                  jnp.asarray(sample_batch.observations),
+                                  jnp.asarray(sample_batch.actions))
         self.state = mesh_lib.place_state(self.mesh, state,
                                           min_channels=self._tp_min_channels)
         return self.state
+
+    def abstract_state(self, sample_batch) -> TrainState:
+        """ShapeDtypeStruct pytree of the TrainState `init_state` would
+        build — for AOT `.lower(...).compile()` of a train step without
+        touching the device (bench.py compiles in the background while
+        latency benches own the chip)."""
+        obs = jax.ShapeDtypeStruct(np.shape(sample_batch.observations),
+                                   jnp.float32)
+        acts = jax.ShapeDtypeStruct(np.shape(sample_batch.actions), jnp.int32)
+        return jax.eval_shape(self._build_state, jax.random.PRNGKey(0),
+                              obs, acts)
 
     def save_checkpoint(self, name: Optional[str] = None):
         directory = self.config["logging"]["save_root_directory"]

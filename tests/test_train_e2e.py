@@ -93,3 +93,67 @@ def test_train_checkpoint_eval_cycle(synthetic_run):
     # GT-mapped sampling feeds GT actions through the Hungarian mapping, so
     # the re-matched accuracy is exact by construction.
     assert metrics_gt["validation/actions_accuracy"] > 0.999
+
+
+def test_abstract_state_matches_init_state(synthetic_run):
+    """trainer.abstract_state must mirror init_state's pytree exactly
+    (same treedef, shapes, dtypes) — it is the contract bench.py relies
+    on to AOT-compile the train step off-chip."""
+    import jax
+
+    from playablevideogeneration_tpu.cli.train import build_run
+    from playablevideogeneration_tpu.data.video_dataset import collate
+
+    model, datasets, trainer, evaluators, logger = build_run(synthetic_run)
+    batch = collate([datasets["train"][0]])
+    avals = trainer.abstract_state(batch)
+    state = trainer.init_state(batch)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(avals)
+    flat_s = jax.tree_util.tree_leaves_with_path(state)
+    assert len(flat_a) == len(flat_s)
+    for (pa, va), (ps, vs) in zip(flat_a, flat_s):
+        assert str(pa) == str(ps)
+        assert va.shape == vs.shape, str(pa)
+        assert va.dtype == vs.dtype, str(pa)
+
+
+@pytest.mark.slow
+def test_aot_compiled_step_runs(synthetic_run):
+    """bench.py's AOT path: lower the train step from abstract avals,
+    compile, then execute with the real state."""
+    import jax
+    import jax.numpy as jnp
+
+    from playablevideogeneration_tpu.cli.train import build_run
+    from playablevideogeneration_tpu.data.video_dataset import collate
+
+    model, datasets, trainer, evaluators, logger = build_run(synthetic_run)
+    batch = collate([datasets["train"][0]])
+    step_fn = trainer._get_train_step(4, pretraining=False)
+
+    def aval(x):
+        return jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+
+    compiled = step_fn.lower(
+        trainer.abstract_state(batch),
+        jax.ShapeDtypeStruct(np.shape(batch.observations), jnp.float32),
+        jax.ShapeDtypeStruct(np.shape(batch.actions), jnp.int32),
+        jax.ShapeDtypeStruct((), jnp.int32),
+        jax.ShapeDtypeStruct((), jnp.float32),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),
+        jax.tree.map(aval, trainer.vgg_variables),
+    ).compile()
+
+    state = trainer.init_state(batch)
+    step0 = int(state.step)  # read BEFORE the call: state is donated
+    obs = jax.device_put(np.asarray(batch.observations, np.float32),
+                         trainer._batch_sharded)
+    acts = jax.device_put(np.asarray(batch.actions, np.int32),
+                          trainer._batch_sharded)
+    new_state, metrics = compiled(
+        state, obs, acts, jnp.asarray(1, jnp.int32),
+        jnp.asarray(0.9, jnp.float32), jax.random.PRNGKey(0),
+        trainer.vgg_variables)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == step0 + 1

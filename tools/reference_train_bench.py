@@ -209,35 +209,24 @@ def bench_mine(cfg, size, batch, t, stacking, steps):
     import jax.numpy as jnp
     import numpy as np
 
-    from playablevideogeneration_tpu.config.configuration import Configuration
     from playablevideogeneration_tpu.data.video_dataset import Batch
-    from playablevideogeneration_tpu.models.caddy import Caddy
-    from playablevideogeneration_tpu.training.smooth_mi import (
-        make_smooth_mi_trainer,
+    from playablevideogeneration_tpu.training.bench_harness import (
+        build_synthetic_trainer,
+        chained_step_time,
     )
-    from playablevideogeneration_tpu.utils.logging import Logger
 
-    cfg = dict(cfg)
-    cfg["training"] = dict(cfg["training"])
-    cfg["training"]["trainer"] = "training.trainer"  # plain MI, like the ref
-    Configuration(config=cfg).check_config(check_data_root=False)
-
-    model = Caddy(actions_count=3, action_space_dimension=2,
-                  state_features=64, state_resolution=(size // 8, size // 8),
-                  hidden_state_size=128, observation_stacking=stacking)
-
-    class _NullDataset:
-        def set_observations_count(self, n):
-            pass
-
-        def __len__(self):
-            return 0
-
-    from playablevideogeneration_tpu.training.trainer import make_trainer
-
-    trainer = make_trainer(cfg, model, _NullDataset(), Logger())
+    # Plain-MI trainer, f32, no remat — matching the reference defaults
+    # the torch side runs with (smooth_mi=False mirrors
+    # configs/03_tennis.yaml:66; the config keys derive from the same
+    # make_synthetic_config the torch side's cfg came from).
+    trainer = build_synthetic_trainer(
+        height=size, width=size, batch_size=batch, observations_count=t,
+        actions_count=3, observation_stacking=stacking,
+        compute_dtype="float32", remat=False, smooth_mi=False,
+        output_root="/tmp/ref_bench")
     obs, actions = make_batch_arrays(cfg, size, batch, t, stacking)
-    # NHWC with stacked channels last, as the loader produces.
+    # NHWC with stacked channels last, as the loader produces — the SAME
+    # array content the torch side consumed in NCHW.
     obs_nhwc = np.moveaxis(obs, 2, -1)
     b = Batch(observations=obs_nhwc, actions=actions.astype(np.int32),
               rewards=np.zeros((batch, t), np.float32),
@@ -252,13 +241,9 @@ def bench_mine(cfg, size, batch, t, stacking, steps):
                              jax.random.PRNGKey(1), trainer.vgg_variables)
     float(metrics["loss"])  # compile + warm-up
 
-    start = time.perf_counter()
-    for i in range(steps):
-        state, metrics = step_fn(state, o, a, *args,
-                                 jax.random.PRNGKey(2 + i),
-                                 trainer.vgg_variables)
-    loss = float(metrics["loss"])  # readback closes the dependency chain
-    elapsed = (time.perf_counter() - start) / steps
+    elapsed, loss = chained_step_time(step_fn, state, o, a, *args,
+                                      vgg_variables=trainer.vgg_variables,
+                                      steps=steps)
     assert np.isfinite(loss)
     return elapsed
 

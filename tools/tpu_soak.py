@@ -206,6 +206,18 @@ def main():
             [sys.executable, "-u", "-m", f"{pkg}.evaluate_dataset",
              "--config", eval_config], env, log_dir)
 
+    if "evaluate" not in stages_wanted:
+        # No data.yml was (re)produced this run: validating one would
+        # either crash (missing file) or silently PASS stale metrics
+        # from a previous --keep-fixture run.
+        print("[tpu_soak] " + json.dumps(
+            {"platform": args.platform or "default(real chip)",
+             "stage_seconds": {k: round(v, 1) for k, v in times.items()}}))
+        print("[tpu_soak] PASS (partial): stages "
+              f"{sorted(stages_wanted)} executed; metric validation "
+              "requires the 'evaluate' stage")
+        return
+
     import yaml
 
     results_path = (args.root +

@@ -1,0 +1,89 @@
+"""Profile-guided train-step tuning on the real chip.
+
+Round-2 analysis: the BAIR-class step (B=8, T=12, 256px, bf16, remat) ran
+at 204 frames/s with neither roofline saturated (~18% MXU at 17.1
+TFLOP/step) — the 11 serialized in-scan re-encodes dominate.  The lever
+that attacks serialization directly is a WIDER PER-CHIP BATCH: the scan
+length stays 11, but every step feeds the MXU more work, so utilization
+rises at constant step count.  This tool measures frames/s across batch
+sizes (and optional no-remat) on the real chip and prints one JSON line
+per config.
+
+Usage:
+    python tools/train_tune.py --batches 8,16,24 [--no-remat] [--steps 6]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(REPO, ".jax_cache"))
+
+
+def measure(batch: int, remat: bool, steps: int, height: int = 256,
+            width: int = 256, t: int = 12) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from playablevideogeneration_tpu.training.bench_harness import (
+        build_synthetic_trainer,
+        chained_step_time,
+        make_synthetic_batch,
+    )
+
+    trainer = build_synthetic_trainer(
+        height=height, width=width, batch_size=batch, observations_count=t,
+        remat=remat, output_root="/tmp/pvg_tune")
+    b = make_synthetic_batch(batch_size=batch, observations_count=t,
+                             height=height, width=width)
+    trainer.init_state(b)
+    step_fn = trainer._get_train_step(t, pretraining=False)
+    obs = jax.device_put(b.observations, trainer._batch_sharded)
+    acts = jax.device_put(b.actions, trainer._batch_sharded)
+    args = (jnp.asarray(4, jnp.int32), jnp.asarray(0.9, jnp.float32))
+
+    compile_start = time.perf_counter()
+    state, metrics = step_fn(trainer.state, obs, acts, *args,
+                             jax.random.PRNGKey(1), trainer.vgg_variables)
+    warm_loss = float(metrics["loss"])
+    compile_s = time.perf_counter() - compile_start
+
+    step_s, loss = chained_step_time(step_fn, state, obs, acts, *args,
+                                     vgg_variables=trainer.vgg_variables,
+                                     steps=steps)
+    assert np.isfinite(loss), "non-finite loss in tuning run"
+    return {"batch": batch, "remat": remat, "t": t, "px": height,
+            "compile_s": round(compile_s, 1),
+            "step_ms": round(step_s * 1000, 1),
+            "frames_per_sec": round(batch * t / step_s, 1),
+            "warm_loss": round(warm_loss, 3)}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batches", default="8,16")
+    parser.add_argument("--no-remat", action="store_true")
+    parser.add_argument("--steps", type=int, default=6)
+    args = parser.parse_args()
+
+    for batch in [int(x) for x in args.batches.split(",")]:
+        try:
+            out = measure(batch, remat=not args.no_remat, steps=args.steps)
+        except Exception as e:  # OOM at large batch is a finding, not a crash
+            out = {"batch": batch, "remat": not args.no_remat,
+                   "error": str(e)[:200]}
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
