@@ -428,7 +428,15 @@ class FasterRCNN(nn.Module):
         k = min(RPN_POST_NMS_TOPK, all_scores.shape[0])
         top_scores, top_idx = jax.lax.top_k(all_scores, k)
         rois = all_boxes[top_idx]  # (K, 4)
+        # Static-shape padding: when fewer than K proposals survive NMS /
+        # the size filter, the top-k tail holds zero-score boxes that
+        # torchvision's RoIHeads would never see.  They still ride through
+        # RoIAlign + box head (dense program), but the mask zeroes their
+        # detection scores so they cannot emit spurious detections no
+        # matter what the box head thinks of them.
+        roi_valid = top_scores > 0.0
 
+        self.sow("intermediates", "roi_valid", roi_valid)
         # RoIAlign over P2..P5 with per-box level assignment: compute the
         # pooled features at EVERY level and select — static shapes, no
         # gather-by-level (the 4x redundancy is trivial next to the
@@ -451,7 +459,8 @@ class FasterRCNN(nn.Module):
             cls_boxes = decode_boxes(deltas[:, cls, :], rois,
                                      weights=(10.0, 10.0, 5.0, 5.0))
             cls_boxes = clip_boxes(cls_boxes, new_h, new_w)
-            cls_scores = probs[:, cls]
+            cls_scores = jnp.where(roi_valid, probs[:, cls], 0.0)
+            self.sow("intermediates", "masked_class_scores", cls_scores)
             cls_scores = jnp.where(cls_scores > BOX_SCORE_THRESH,
                                    cls_scores, 0.0)
             valid = ((cls_boxes[:, 2] - cls_boxes[:, 0] > 1e-2)

@@ -414,3 +414,36 @@ def test_frcnn_detect_shapes(tiny_frcnn_variables):
     assert labels.shape == (frcnn.DETECTIONS_PER_IMG,)
     empty = np.asarray(scores) <= 0
     assert np.all(np.asarray(labels)[empty] == -1)
+
+
+def test_invalid_rois_cannot_emit_detections(tiny_frcnn_variables):
+    """Static-shape padding regression: NMS-suppressed proposals pad the
+    post-NMS top-k with zero-score rois of NORMAL size; torchvision's
+    RoIHeads never sees them, so their class scores must be masked to
+    zero no matter what the box head thinks.  Rig: zeroed RPN weights
+    (proposals = the anchor grid, constant score, dense overlaps ->
+    guaranteed suppressions) and a box head biased to score 'person'
+    ~1.0 for every roi."""
+    variables = jax.tree.map(np.array, dict(tiny_frcnn_variables))
+    p = variables["params"]
+    rpn = p["rpn_head"]
+    rpn["cls_logits"]["kernel"][:] = 0.0
+    rpn["cls_logits"]["bias"][:] = 2.0   # every anchor scores sigmoid(2)
+    rpn["bbox_pred"]["kernel"][:] = 0.0
+    rpn["bbox_pred"]["bias"][:] = 0.0    # proposals = anchors exactly
+    bias = p["box_head"]["cls_score"]["bias"]
+    bias[:] = -10.0
+    bias[frcnn.PERSON_LABEL] = 10.0      # softmax(person) ~ 1.0 everywhere
+
+    img = jnp.asarray(np.random.default_rng(3).uniform(
+        0, 1, (64, 96, 3)).astype(np.float32))
+    _, state = frcnn.FasterRCNN(min_size=64, max_size=128).apply(
+        variables, img, mutable=["intermediates"])
+    taps = state["intermediates"]
+    roi_valid = np.asarray(taps["roi_valid"][0])
+    person = np.asarray(taps["masked_class_scores"][0])
+    assert (~roi_valid).sum() > 0            # the rig produced padding rois
+    assert roi_valid.sum() > 0               # ... and real survivors
+    assert (person[roi_valid] > 0.9).all()   # the box-head rig worked
+    # The actual invariant: padding rois are silenced before NMS/top-k.
+    assert np.all(person[~roi_valid] == 0.0)
