@@ -91,12 +91,13 @@ def train(config_dict, use_wandb: bool = False, max_steps=None):
             # Hungarian mapping drives GT-action evaluation
             # (reference train.py:99-106).
             if config_dict["data"]["ground_truth_available"]:
-                evaluators["validation"].set_action_sampler(one_hot_action_sampler)
+                evaluators["validation"].set_action_sampler(
+                    one_hot_action_sampler, label="one_hot")
                 evaluators["validation"].evaluate(variables, trainer.global_step,
                                                   save_images=False)
                 mapping = evaluators["validation"].get_best_action_mappings()
                 evaluators["validation"].set_action_sampler(
-                    make_ground_truth_action_sampler(mapping))
+                    make_ground_truth_action_sampler(mapping), label="gt_actions")
                 evaluators["validation"].evaluate(variables, trainer.global_step,
                                                   save_images=False)
     logger.print("- Training complete")

@@ -75,9 +75,11 @@ class EvaluationDatasetBuilder:
             # (reference builder.py:66-69).
             recon = jnp.concatenate(
                 [obs[:, 0:1, ..., 0:3], out.reconstructed_observations], axis=1)
-            recon = np.asarray(recon)
-            if recon.min() < 0:
-                recon = (recon + 1.0) / 2.0
+            # Unconditional: inputs are [-1, 1] by the transform contract
+            # and the decoder is tanh-bounded.  (A data-dependent
+            # `if recon.min() < 0` guard would silently skip renormalizing
+            # any all-bright batch and skew FID/FVD/MSE for it.)
+            recon = (np.asarray(recon) + 1.0) / 2.0
 
             all_videos.extend(self._predictions_to_videos(
                 recon,

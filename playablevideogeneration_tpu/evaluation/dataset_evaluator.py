@@ -73,6 +73,14 @@ def compute_positional_statistics(values: np.ndarray, prefix: str) -> Dict:
 class DatasetEvaluator:
     """Generic evaluator (tennis protocol: 2-D player-position movements)."""
 
+    # Whether the protocol compares reference-vs-generated detections
+    # (tennis 2-D player positions, breakout 1-D platform positions).
+    # BAIR reads arm states from REFERENCE metadata only — generated
+    # videos carry no states, so there is nothing to compare and the
+    # reference computes no detection metric there
+    # (dataset_evaluator_bair.py has no detector).
+    uses_detection_metric = True
+
     def __init__(self, config, logger: Logger, reference_dataset, generated_dataset,
                  vgg_variables=None, lpips_fn=None, fid_extractor=None,
                  fvd_embedder=None, detector: Optional[TennisPlayerDetector] = None,
@@ -182,9 +190,10 @@ class DatasetEvaluator:
                 acc.add(key, np.asarray(value))
 
             ref_det = self.compute_detections(ref_obs, ref_batch)
-            gen_det = self.compute_detections(gen_obs, gen_batch)
-            acc.add("reference_detections", ref_det)
-            acc.add("generated_detections", gen_det)
+            if self.uses_detection_metric:
+                acc.add("reference_detections", ref_det)
+                acc.add("generated_detections",
+                        self.compute_detections(gen_obs, gen_batch))
 
             movements, inferred = self.compute_movements_and_actions(
                 ref_det, gen_batch)
@@ -203,12 +212,17 @@ class DatasetEvaluator:
             results["vgg_sim_note"] = "random VGG19 features (no pretrained weights)"
 
         # Detection metrics
-        ref_det = acc.pop("reference_detections")
-        gen_det = acc.pop("generated_detections")
-        if ref_det.size and bool((ref_det[..., 0] != -1).any()):
-            results.update(detection_metric(ref_det, gen_det, "detection"))
+        if self.uses_detection_metric:
+            ref_det = acc.pop("reference_detections")
+            gen_det = acc.pop("generated_detections")
+            if ref_det.size and bool((ref_det[..., 0] != -1).any()):
+                results.update(detection_metric(ref_det, gen_det, "detection"))
+            else:
+                results["detection_unavailable"] = "no detector backend provided"
         else:
-            results["detection_unavailable"] = "no detector backend provided"
+            results["detection_unavailable"] = (
+                "protocol computes no detection metric "
+                "(reference dataset_evaluator_bair.py has no detector)")
 
         # Action-space quality
         movements = acc.pop("movements")
@@ -316,6 +330,8 @@ class DatasetEvaluatorBair(DatasetEvaluator):
     per-frame metadata ["state"] (reference dataset_evaluator_bair.py:62-75);
     no visual detector.  The metadata states feed the generic movement
     pipeline in place of detections."""
+
+    uses_detection_metric = False  # reference computes none for BAIR
 
     def compute_detections(self, observations: np.ndarray, batch) -> np.ndarray:
         b, t = observations.shape[:2]

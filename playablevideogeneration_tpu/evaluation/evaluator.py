@@ -33,6 +33,7 @@ class Evaluator:
         self.logger = logger
         self.logger_prefix = logger_prefix
         self.action_sampler = action_sampler
+        self._sampler_label: Optional[str] = None
         self.max_evaluation_batches = config["evaluation"]["max_evaluation_batches"]
         self.best_action_mappings: Optional[Dict[int, int]] = None
 
@@ -47,16 +48,22 @@ class Evaluator:
         self.vgg_apply = vgg_lib.make_vgg_apply(vgg_variables)
         self._jitted = {}
 
-    def set_action_sampler(self, action_sampler):
+    def set_action_sampler(self, action_sampler, label: Optional[str] = None):
         """Swaps the action sampler (reference evaluator.py:78-81).
 
-        The jitted forward closes over the sampler, so the jit cache must be
-        invalidated — otherwise the one-hot / ground-truth-action evaluation
-        passes (cli/train.py protocol, reference train.py:99-106) would
-        silently reuse the Gumbel-sampling program.
-        """
+        The jitted forward closes over the sampler, so programs are cached
+        per (sampler, sequence length) — the Gumbel and one-hot programs
+        compile once ever; only a genuinely new sampler closure (the
+        per-round GT-mapping sampler) compiles fresh.  Clearing the whole
+        cache here used to force three full recompilations of the
+        autoregressive eval program on EVERY evaluation round.
+
+        `label` tags this pass's metric keys (e.g. 'one_hot',
+        'gt_actions') so wandb does not overwrite the default pass's
+        values at the same step (all three cli/train.py passes log at
+        global_step)."""
         self.action_sampler = action_sampler
-        self._jitted = {}
+        self._sampler_label = label
 
     def get_best_action_mappings(self) -> Dict[int, int]:
         if self.best_action_mappings is None:
@@ -64,8 +71,12 @@ class Evaluator:
         return self.best_action_mappings
 
     def _forward(self, variables, observations, actions, rng, observations_count):
-        key = observations_count
+        key = (self.action_sampler, observations_count)
         if key not in self._jitted:
+            # Bounded cache: fresh GT-mapping samplers arrive every round;
+            # evict the oldest program instead of growing forever.
+            while len(self._jitted) >= 6:
+                del self._jitted[next(iter(self._jitted))]
             model = self.model
             sampler = self.action_sampler
 
@@ -149,7 +160,13 @@ class Evaluator:
             self.config["data"]["actions_count"])
         self.best_action_mappings = mapping
 
-        log_data = {f"{self.logger_prefix}/actions_accuracy": accuracy}
+        # Per-pass key prefix: the three cli/train.py passes (Gumbel,
+        # one-hot, GT-mapped) all log at the same global step; without a
+        # label wandb keeps only the last value per key.
+        prefix = self.logger_prefix
+        if self._sampler_label:
+            prefix = f"{prefix}/{self._sampler_label}"
+        log_data = {f"{prefix}/actions_accuracy": accuracy}
         keys = [
             "observations_loss/avg", "perceptual_loss/avg", "states_loss/avg",
             "entropy", "samples_entropy", "action_distribution_entropy",
@@ -161,7 +178,7 @@ class Evaluator:
                      f"states_loss/pos_{i}"]
         for key in keys:
             try:
-                log_data[f"{self.logger_prefix}/{key}"] = meter.pop(key)
+                log_data[f"{prefix}/{key}"] = meter.pop(key)
             except KeyError:
                 pass
 
@@ -170,7 +187,7 @@ class Evaluator:
 
         self.logger.log(log_data, step=step)
         for key in ("observations_loss/avg", "perceptual_loss/avg", "states_loss/avg"):
-            self.logger.print(f"- {key}: {log_data[self.logger_prefix + '/' + key]:.3f}")
+            self.logger.print(f"- {key}: {log_data[prefix + '/' + key]:.3f}")
         self.logger.print(f"- actions_accuracy: {accuracy:.3f}")
         return log_data
 
@@ -181,8 +198,12 @@ class Evaluator:
         nearest-upsampled to frame resolution and modulates brightness."""
         t, h, w = frames.shape[:3]
         att = np.asarray(attention)[..., 0]  # (T, h', w')
-        ry, rx = h // att.shape[1], w // att.shape[2]
-        att = np.repeat(np.repeat(att, ry, axis=1), rx, axis=2)[..., None]
+        # Nearest-neighbor upsample by index maps: exact for any ratio
+        # (np.repeat by h//h' under-fills whenever the frame is not an
+        # integer multiple of the attention grid).
+        ys = np.arange(h) * att.shape[1] // h
+        xs = np.arange(w) * att.shape[2] // w
+        att = att[:, ys][:, :, xs][..., None]
         return frames * att + (1.0 - att) * -1.0  # unattended -> black
 
     def _save_examples(self, batch, out, step: int, max_sequences: int = 4):

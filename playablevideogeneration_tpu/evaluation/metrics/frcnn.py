@@ -216,9 +216,13 @@ def make_anchors(level_shapes: Sequence[Tuple[int, int]],
         ratios = np.asarray(ASPECT_RATIOS, np.float32)
         h_ratios = np.sqrt(ratios)
         w_ratios = 1.0 / h_ratios
-        ws = (w_ratios * size).round()
-        hs = (h_ratios * size).round()
-        base = np.stack([-ws / 2, -hs / 2, ws / 2, hs / 2], axis=1)  # (A, 4)
+        ws = w_ratios * size
+        hs = h_ratios * size
+        # torchvision rounds the HALF-extent coordinates
+        # (AnchorGenerator.generate_anchors: stack(...)/2 then .round()),
+        # not the full extents — rounding before halving shifts anchors
+        # by up to 0.5px from what the checkpoint was trained against.
+        base = np.stack([-ws / 2, -hs / 2, ws / 2, hs / 2], axis=1).round()
         shifts_x = np.arange(w, dtype=np.float32) * stride
         shifts_y = np.arange(h, dtype=np.float32) * stride
         sx, sy = np.meshgrid(shifts_x, shifts_y)

@@ -122,9 +122,16 @@ class PlaySession:
 
     def rollout(self, actions: np.ndarray) -> np.ndarray:
         """Scripted rollout of N actions as one `lax.scan` program;
-        returns (N, H, W, 3) uint8 frames (single device->host transfer)."""
+        returns (N, H, W, 3) uint8 frames (single device->host transfer).
+        Honors the session's `noise` flag exactly like the interactive
+        path, so a scripted rollout reproduces interactive behavior."""
         onehots = jax.nn.one_hot(jnp.asarray(actions), self.actions_count)
-        variations = jnp.zeros((len(actions), self.action_space_dimension))
+        if self.noise:
+            self._rng, k = jax.random.split(self._rng)
+            variations = jax.random.normal(
+                k, (len(actions), self.action_space_dimension))
+        else:
+            variations = jnp.zeros((len(actions), self.action_space_dimension))
         self.carry, self.window, frames = self._rollout(
             self.variables, self.carry, self.window, onehots, variations)
         return np.asarray(frames)

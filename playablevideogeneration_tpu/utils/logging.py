@@ -23,6 +23,8 @@ class AverageMeter:
             self._counts[key] += 1
 
     def pop(self, key: str) -> float:
+        if key not in self._counts:  # defaultdict would mint a bogus 0.0
+            raise KeyError(key)
         value = self._sums[key] / max(self._counts[key], 1)
         del self._sums[key]
         del self._counts[key]

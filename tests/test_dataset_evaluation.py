@@ -209,3 +209,45 @@ def test_inception_score_wiring(tmp_path, monkeypatch):
 
     metrics2 = evaluate_dataset(configuration.get_config())
     assert "inception_score_unavailable" in metrics2
+
+
+def test_bair_evaluator_metadata_states(tmp_path, monkeypatch):
+    """BAIR protocol: movements come from REFERENCE metadata 'state'
+    vectors (any dimensionality — real BAIR arm states are 4-D), the
+    generated dataset has no states, and — like the reference
+    dataset_evaluator_bair.py — NO detection metric is computed (feeding
+    (N,T,4) reference states against the (N,T,2) generated placeholder
+    used to crash or fabricate an all-missed detection result)."""
+    from playablevideogeneration_tpu.cli.evaluate_dataset import evaluate_dataset
+    from playablevideogeneration_tpu.config.configuration import (
+        EvaluationConfiguration,
+    )
+
+    monkeypatch.delenv("PVG_PRETRAINED_WEIGHTS", raising=False)
+    ref_dir, gen_dir = _write_eval_datasets(str(tmp_path))
+    # Attach 4-D arm states to the REFERENCE videos only.
+    from playablevideogeneration_tpu.data.video import Video
+
+    rng = np.random.default_rng(3)
+    for name in os.listdir(ref_dir):
+        path = os.path.join(ref_dir, name)
+        video = Video()
+        video.load(path)
+        for meta in video.metadata:
+            meta["state"] = rng.normal(size=4).tolist()
+        video.save(path)
+
+    config = _eval_config(tmp_path, ref_dir, gen_dir)
+    config["evaluation"]["evaluator"] = "evaluation.dataset_evaluator_bair"
+    del config["evaluation"]["detector"]
+    configuration = EvaluationConfiguration(config=config)
+    configuration.check_config()
+    configuration.create_directory_structure()
+    metrics = evaluate_dataset(configuration.get_config())
+
+    # No detection metric for BAIR — explicit marker, no bogus numbers.
+    assert "detection_unavailable" in metrics
+    assert "detection/add/avg" not in metrics
+    # Movement/action chain fed by the 4-D metadata states.
+    assert "action_space_unavailable" not in metrics
+    assert any(k.startswith("action_variance") for k in metrics)

@@ -257,10 +257,13 @@ def test_rpn_and_box_heads_match_torch():
 def test_anchor_generation_matches_torchvision_formula():
     anchors = frcnn.make_anchors([(2, 3)], [4])
     assert anchors[0].shape == (2 * 3 * 3, 4)
-    # First cell (shift 0): base anchors for size 32, ratios 0.5/1/2.
-    ws = np.round(1.0 / np.sqrt([0.5, 1.0, 2.0]) * 32)
-    hs = np.round(np.sqrt([0.5, 1.0, 2.0]) * 32)
-    want = np.stack([-ws / 2, -hs / 2, ws / 2, hs / 2], axis=1)
+    # First cell (shift 0): base anchors for size 32, ratios 0.5/1/2 —
+    # torchvision rounds the halved coordinates (generate_anchors:
+    # stack/2 then round), so size 32 ratio 0.5 gives +/-23, not +/-22.5.
+    ws = 1.0 / np.sqrt([0.5, 1.0, 2.0]) * 32
+    hs = np.sqrt([0.5, 1.0, 2.0]) * 32
+    want = np.round(np.stack([-ws / 2, -hs / 2, ws / 2, hs / 2], axis=1))
+    assert want[0, 2] == 23.0  # the case the old full-extent rounding missed
     np.testing.assert_allclose(anchors[0][:3], want)
     # Second cell shifts x by the stride.
     np.testing.assert_allclose(anchors[0][3:6, 0] - anchors[0][:3, 0], 4.0)
