@@ -34,7 +34,11 @@ def interpolate(config_dict, first_action: int, second_action: int,
             frames.append(frame)
         seq_dir = os.path.join(
             output_dir, f"interp_{first_action}_{second_action}_{factor:.1f}")
-        save_session(frames, [first_action, second_action], seq_dir, logger)
+        # One action PER FRAME (the overlay/session writers zip frames
+        # with actions): every frame of this sequence used the factor's
+        # selected action (reference model.py:631-637 selection rule).
+        selected = second_action if factor > 0.5 else first_action
+        save_session(frames, [selected] * len(frames), seq_dir, logger)
     logger.print(f"- Interpolations written to {output_dir}")
 
 

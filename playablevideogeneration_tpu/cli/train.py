@@ -45,6 +45,10 @@ def build_run(config_dict, use_wandb: bool = False):
         "validation": evaluator_factory(config_dict, model, datasets["validation"],
                                         logger, action_sampler=None,
                                         logger_prefix="validation"),
+        # Constructed for API completeness like the reference's unused
+        # third evaluator (reference train.py:56-58 builds three, training
+        # only ever drives the validation ones, train.py:91-106); callers
+        # (e.g. tests, notebooks) can run the test split explicitly.
         "test": evaluator_factory(config_dict, model, datasets["test"], logger,
                                   action_sampler=None, logger_prefix="test"),
     }
@@ -75,7 +79,16 @@ def train(config_dict, use_wandb: bool = False, max_steps=None):
     last_periodic_save = trainer.global_step
 
     while trainer.global_step < max_steps:
+        step_before = trainer.global_step
         trainer.train_epoch(max_steps=max_steps)
+        if trainer.global_step == step_before:
+            # Zero batches this epoch (dataset smaller than the batch
+            # size, or annealing shrank the sample space below it with
+            # drop_last): without this guard the while-loop would spin
+            # forever, writing a checkpoint per spin.
+            raise RuntimeError(
+                "train_epoch performed no steps: the train split yields "
+                "no full batch at the current sequence length/batch size")
         trainer.state = trainer.state.replace(
             step=trainer.state.step * 0 + trainer.global_step)
         trainer.save_checkpoint()

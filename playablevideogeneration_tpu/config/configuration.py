@@ -69,7 +69,9 @@ class Configuration:
         c["model"]["action_network"].setdefault("use_variations", True)
 
         # TPU-specific knobs (new to this framework, all optional).
-        c.setdefault("tpu", {})
+        # An empty `tpu:` YAML block parses as None, not {}.
+        if c.get("tpu") is None:
+            c["tpu"] = {}
         c["tpu"].setdefault("compute_dtype", "float32")  # or "bfloat16"
         c["tpu"].setdefault("data_parallel_devices", None)  # None = all
         c["tpu"].setdefault("model_parallel", 1)  # tensor-parallel axis size

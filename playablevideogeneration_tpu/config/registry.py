@@ -32,9 +32,13 @@ def resolve(kind: str, name: str) -> Callable:
         return reg[name]
     # Accept both reference-style dotted paths and bare names, e.g.
     # "model.main_model.model" == "main_model" and "training.trainer" == "trainer".
-    short = name.split(".")[-2] if name.count(".") >= 2 else name.split(".")[-1]
+    def shorten(dotted):
+        parts = dotted.split(".")
+        return parts[-2] if len(parts) >= 3 else parts[-1]
+
+    short = shorten(name)
     for key, fn in reg.items():
-        if key == short or key.split(".")[-1] == short:
+        if key == short or shorten(key) == short:
             return fn
     raise KeyError(f"No {kind} registered under '{name}'. Known: {sorted(reg)}")
 

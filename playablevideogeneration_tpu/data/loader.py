@@ -57,7 +57,8 @@ class DataLoader:
     def __init__(self, dataset: VideoDataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 2,
                  prefetch: int = 2, seed: int = 0, worker_mode: str = "thread",
-                 shard_index: int = 0, shard_count: int = 1):
+                 shard_index: int = 0, shard_count: int = 1,
+                 worker_timeout: float = 300.0):
         if worker_mode not in ("thread", "process"):
             raise ValueError(f"Unknown worker_mode '{worker_mode}'")
         self.dataset = dataset
@@ -69,6 +70,7 @@ class DataLoader:
         self.worker_mode = worker_mode
         self.shard_index = shard_index
         self.shard_count = max(1, shard_count)
+        self.worker_timeout = worker_timeout
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -107,7 +109,18 @@ class DataLoader:
                 pool.apply_async(_collate_indices_arrays_only, (idxs.tolist(),))
                 for idxs in itertools.islice(it, max_ahead))
             while pending:
-                batch = pending.popleft().get()
+                # A bounded get: if a forked worker is OOM-killed or
+                # segfaults, Pool respawns it but the in-flight result
+                # never completes — an unbounded get() would freeze
+                # training silently.
+                try:
+                    batch = pending.popleft().get(timeout=self.worker_timeout)
+                except mp.TimeoutError:
+                    raise RuntimeError(
+                        "process-mode loader worker produced no batch "
+                        f"within {self.worker_timeout}s — a forked worker "
+                        "likely died (see fork-safety note in the module "
+                        "docstring); try worker_mode='thread'")
                 nxt = next(it, None)
                 if nxt is not None:
                     pending.append(pool.apply_async(
@@ -174,44 +187,3 @@ class DataLoader:
             stop.set()
             with cond:
                 cond.notify_all()
-
-
-def device_prefetch(iterator, size: int = 2, sharding=None):
-    """Moves batches to device ahead of consumption.
-
-    :param sharding: optional jax.sharding.Sharding used for the transfer
-        (e.g. batch-axis NamedSharding for data parallelism)
-    """
-    import jax
-
-    buf = []
-
-    def _put(batch: Batch) -> Batch:
-        def transfer(x):
-            return jax.device_put(x, sharding) if sharding is not None else jnp_put(x)
-
-        def jnp_put(x):
-            return jax.device_put(x)
-
-        return Batch(
-            observations=transfer(batch.observations),
-            actions=transfer(batch.actions),
-            rewards=transfer(batch.rewards),
-            dones=transfer(batch.dones),
-            videos=batch.videos,
-            initial_frames=batch.initial_frames,
-        )
-
-    it = iter(iterator)
-    try:
-        for _ in range(size):
-            buf.append(_put(next(it)))
-    except StopIteration:
-        pass
-    while buf:
-        out = buf.pop(0)
-        try:
-            buf.append(_put(next(it)))
-        except StopIteration:
-            pass
-        yield out

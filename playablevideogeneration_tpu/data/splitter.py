@@ -15,7 +15,10 @@ def generate_splits(config) -> Dict[str, Tuple[str, dict, Optional[Set[str]]]]:
     root = config["data"]["data_root"]
 
     if style == "flat":
-        contents = sorted(os.listdir(root))
+        # Directories only: a stray file (README, .DS_Store) would shift
+        # every fraction boundary and silently misallocate one video.
+        contents = sorted(d for d in os.listdir(root)
+                          if os.path.isdir(os.path.join(root, d)))
         fractions = config["data"]["dataset_splits"]
         n = len(contents)
         n_train = int(n * fractions[0])

@@ -85,7 +85,9 @@ class VideoDataset:
         return self.total_available_samples
 
     def __getitem__(self, index: int) -> SequenceSample:
-        if index >= self.total_available_samples:
+        if index < 0:  # list semantics; bare negatives would otherwise
+            index += self.total_available_samples  # index a garbage sample
+        if not 0 <= index < self.total_available_samples:
             raise IndexError(index)
         # O(log n) index -> (video, start frame) versus the reference's
         # linear scan (video_dataset.py:119-126).

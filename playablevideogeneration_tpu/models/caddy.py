@@ -465,13 +465,18 @@ def _model_from_config(config, rendering_widths=None) -> Caddy:
     )
 
 
-def make_main_model(config) -> Caddy:
-    """Main model: rendering widths (h, h/2, h/4) with h=128 in shipped
-    configs (reference model/main_model/rendering_network.py:30-41)."""
+def make_model(config) -> Caddy:
+    """Factory for BOTH reference variants: the main and reduced models
+    differ only in rendering widths (h, h/2, h/4) with h = the config's
+    hidden_state_size — 128 for main (model/main_model/
+    rendering_network.py:30-41), 64 for reduced (model/reduced_model/
+    rendering_network.py:30-41, selected by configs/02_breakout.yaml:25's
+    hidden size).  The derivation is proven against both running
+    reference variants by tests/test_reference_parity.py, so one factory
+    serves both registry names."""
     return _model_from_config(config)
 
 
-def make_reduced_model(config) -> Caddy:
-    """Reduced model: same widths formula with h=64
-    (reference model/reduced_model/rendering_network.py:30-41)."""
-    return _model_from_config(config)
+# Registry aliases for the reference's dotted module paths.
+make_main_model = make_model
+make_reduced_model = make_model

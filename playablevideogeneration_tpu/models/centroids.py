@@ -33,12 +33,17 @@ def update_centroids(
     :return: (K, D) updated centroids (stop-gradient applied)
     """
     k, d = centroids.shape
-    means = points_priors.reshape((-1, 2, d))[:, 0]  # (N, D)
-    assign = centroid_assignments.reshape((-1, k))  # (N, K)
+    # The EMA runs in f32 regardless of the model compute dtype: callers
+    # pass bf16 activations under tpu.compute_dtype=bfloat16, and an
+    # 8-bit-mantissa estimate would inject percent-level quantization
+    # noise into the f32 centroid state every step (the reference
+    # estimator is all-f32).
+    means = points_priors.reshape((-1, 2, d))[:, 0].astype(jnp.float32)
+    assign = centroid_assignments.reshape((-1, k)).astype(jnp.float32)
     weighted = jnp.einsum("nd,nk->kd", means, assign)
     weights = assign.sum(axis=0)[:, None]  # (K, 1)
     estimate = weighted / weights
-    new = centroids * (1.0 - alpha) + estimate * alpha
+    new = centroids.astype(jnp.float32) * (1.0 - alpha) + estimate * alpha
     return jax.lax.stop_gradient(new.astype(centroids.dtype))
 
 

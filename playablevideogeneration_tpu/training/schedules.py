@@ -47,14 +47,19 @@ def multistep_lr(base_lr: float, milestones, gamma: float):
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
-def make_optimizer(config) -> optax.GradientTransformation:
+def make_optimizer(config):
     """Adam with torch-style L2 weight decay added to the raw gradient
     before the moment updates (torch Adam(weight_decay=...) semantics,
-    reference trainer.py:36), plus MultiStepLR (trainer.py:37)."""
+    reference trainer.py:36), plus MultiStepLR (trainer.py:37).
+
+    Returns (optimizer, lr_schedule): the schedule instance embedded in
+    the optimizer is exposed so callers log the lr actually applied
+    instead of rebuilding a parallel copy that could drift."""
     t = config["training"]
     schedule = multistep_lr(t["learning_rate"], t["lr_schedule"], t["lr_gamma"])
-    return optax.chain(
+    tx = optax.chain(
         optax.add_decayed_weights(t["weight_decay"]),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.scale_by_learning_rate(schedule),
     )
+    return tx, schedule

@@ -19,6 +19,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from playablevideogeneration_tpu.data.loader import DataLoader
@@ -194,9 +195,7 @@ class Trainer:
         self.global_step = 0
 
         t = config["training"]
-        self.tx = schedules.make_optimizer(config)
-        self.lr_schedule = schedules.multistep_lr(
-            t["learning_rate"], t["lr_schedule"], t["lr_gamma"])
+        self.tx, self.lr_schedule = schedules.make_optimizer(config)
         if mesh is None:
             # tpu.model_parallel > 1 activates tensor-parallel sharding of
             # wide kernels over the 'model' mesh axis (parallel/mesh.py);
@@ -384,7 +383,7 @@ class Trainer:
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-            new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            new_params = optax.apply_updates(state.params, updates)
             mutated = aux["mutated"]
             new_state = TrainState(
                 params=new_params,
@@ -523,6 +522,13 @@ class Trainer:
             self.average_meter.add(metrics)
 
             lr = float(self.lr_schedule(self.global_step))
+            # Reference-parity quirk kept deliberately: the reference's
+            # `(global_step - 1) % 1 == 0` (trainer.py:592) is always true,
+            # so the meter is drained every step and the 10-step wandb log
+            # carries the CURRENT step's values, not 10-step means — as in
+            # the reference.  (Same for the increment-before-length-break
+            # and `performed_steps > max` epoch-cap semantics above,
+            # reference trainer.py:564-574.)
             if (self.global_step - 1) % 1 == 0:
                 avg = {k: self.average_meter.pop(k) for k in metrics}
                 parts = " ".join(f"{k}:{v:.3f}" for k, v in sorted(avg.items())

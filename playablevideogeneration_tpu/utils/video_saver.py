@@ -44,12 +44,24 @@ class VideoSaver:
             "-an", "-vcodec", "libx264", "-crf", str(self.crf),
             "-pix_fmt", "yuv420p", path,
         ]
-        proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
-                                stdout=subprocess.DEVNULL,
-                                stderr=subprocess.DEVNULL)
-        proc.stdin.write(frames.tobytes())
-        proc.stdin.close()
-        proc.wait()
+        # stderr to a file, not a pipe: a pipe could deadlock if ffmpeg
+        # fills it while this process is still writing frames to stdin.
+        import tempfile
+
+        with tempfile.TemporaryFile() as err:
+            proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                                    stdout=subprocess.DEVNULL, stderr=err)
+            try:
+                proc.stdin.write(frames.tobytes())
+                proc.stdin.close()
+            except BrokenPipeError:
+                pass  # ffmpeg exited early; surface its stderr below
+            if proc.wait() != 0:
+                err.seek(0)
+                tail = err.read().decode("utf-8", "replace").strip()
+                raise RuntimeError(
+                    f"ffmpeg failed (rc={proc.returncode}) writing {path}: "
+                    + " | ".join(tail.splitlines()[-3:]))
         return path
 
     def save_video_with_actions(self, frames: np.ndarray,
