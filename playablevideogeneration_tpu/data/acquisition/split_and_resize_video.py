@@ -36,9 +36,14 @@ def split_and_resize(video_path: str, output_directory: str,
     cmd = [ffmpeg, "-y", "-i", video_path]
     if target_size is not None:
         cmd += ["-vf", f"scale={target_size[0]}:{target_size[1]}"]
+    # Segments carry the SOURCE video's name (reference
+    # split_and_resize_video.py:52: '{base_video_name}_{idx:05d}.{ext}'):
+    # a generic name would collide across videos staged into one
+    # directory, and the annotation CSVs are matched per segment name.
+    base = os.path.splitext(os.path.basename(video_path))[0]
     cmd += ["-f", "segment", "-segment_time", str(segment_seconds),
             "-reset_timestamps", "1",
-            os.path.join(output_directory, "segment_%03d.mp4")]
+            os.path.join(output_directory, f"{base}_%05d.mp4")]
     subprocess.run(cmd, check=True, stdout=subprocess.DEVNULL,
                    stderr=subprocess.DEVNULL)
     segments = sorted(os.listdir(output_directory))

@@ -27,7 +27,7 @@ def main():
     parser.add_argument("--size", type=int, default=64)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--observations", type=int, default=6)
-    parser.add_argument("--workers", type=int, default=max(1, os.cpu_count() - 1))
+    parser.add_argument("--workers", type=int, default=max(1, (os.cpu_count() or 2) - 1))
     args = parser.parse_args()
 
     from playablevideogeneration_tpu.data.loader import DataLoader

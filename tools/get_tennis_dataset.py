@@ -56,16 +56,25 @@ def main():
             run([tool, "-f", "137", "-o", target, url])
 
     # 2. Split into shorter segments (get_tennis_dataset.sh:15-18).
+    # Segments are named {video}_{idx:05d}.mp4 (reference
+    # split_and_resize_video.py:52), so the two videos can share one
+    # directory and the annotation CSVs match per segment name.  The
+    # skip marker is the presence of this video's segments in the FINAL
+    # location: a crash between split and move re-runs the stage
+    # idempotently (ffmpeg -y overwrites).
+    segments_dir = os.path.join(args.workdir, "segments")
+    os.makedirs(segments_dir, exist_ok=True)
     for name in VIDEOS:
+        if any(f.startswith(name + "_") for f in os.listdir(segments_dir)):
+            continue
         splits_dir = os.path.join(args.workdir, f"{name}_splits")
-        if not os.path.isdir(splits_dir):
-            run([sys.executable, "-m",
-                 "playablevideogeneration_tpu.data.acquisition.split_and_resize_video",
-                 "--video_path", os.path.join(args.workdir, f"{name}.mp4"),
-                 "--output_directory", splits_dir])
-            for f in os.listdir(splits_dir):
-                shutil.move(os.path.join(splits_dir, f),
-                            os.path.join(args.workdir, f))
+        run([sys.executable, "-m",
+             "playablevideogeneration_tpu.data.acquisition.split_and_resize_video",
+             "--video_path", os.path.join(args.workdir, f"{name}.mp4"),
+             "--output_directory", splits_dir])
+        for f in os.listdir(splits_dir):
+            shutil.move(os.path.join(splits_dir, f),
+                        os.path.join(segments_dir, f))
 
     staged = os.path.join(args.workdir, "tennis_v4_256_ours")
     # 3. Extract annotated sequences (get_tennis_dataset.sh:21).
@@ -73,12 +82,18 @@ def main():
         run([sys.executable, "-m",
              "playablevideogeneration_tpu.data.acquisition."
              "convert_annotated_video_directory",
-             "--video_directory", args.workdir,
+             "--video_directory", segments_dir,
              "--annotations_directory", args.annotations,
              "--output_directory", staged, "--target_size", "256", "96"])
 
+    # Steps 4-6 gate on the FINAL output too: step 6 moves the staged
+    # directories away, so staged-only skip markers would re-run the
+    # split after a successful run and crash on the leftovers.
+    def done(dst):
+        return os.path.isdir(os.path.join(args.output, dst))
+
     # 4. Train/val/test split (get_tennis_dataset.sh:23).
-    if not os.path.isdir(os.path.join(staged, "train")):
+    if not os.path.isdir(os.path.join(staged, "train")) and not done("train"):
         run([sys.executable, "-m",
              "playablevideogeneration_tpu.data.acquisition.train_val_test_split",
              "--input_directory", staged, "--output_directory", staged,
@@ -87,7 +102,7 @@ def main():
     # 5. Fixed-length val/test sequences (get_tennis_dataset.sh:25).
     for split in ("val", "test"):
         fixed = os.path.join(staged, f"{split}_fixed_length")
-        if not os.path.isdir(fixed):
+        if not os.path.isdir(fixed) and not done(split):
             run([sys.executable, "-m",
                  "playablevideogeneration_tpu.data.acquisition."
                  "subsample_videos_and_make_fixed_length",

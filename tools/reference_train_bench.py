@@ -257,8 +257,13 @@ def main():
     parser.add_argument("--steps", type=int, default=5)
     parser.add_argument("--skip-mine", action="store_true")
     args = parser.parse_args()
+    if args.steps < 1:
+        raise SystemExit("--steps must be >= 1")
 
-    os.environ.setdefault("PVG_PLATFORM", "cpu")
+    # FORCE cpu (not setdefault): an inherited PVG_PLATFORM=tpu would
+    # silently produce the bogus cross-device "speedup" this tool exists
+    # to avoid; the JSON also records the backend actually used.
+    os.environ["PVG_PLATFORM"] = "cpu"
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/tmp/jax_compilation_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
@@ -276,6 +281,10 @@ def main():
     if not args.skip_mine:
         mine_s = bench_mine(cfg, args.size, args.batch, args.t,
                             args.stacking, args.steps)
+        import jax
+
+        out["jax_backend"] = jax.default_backend()
+        assert out["jax_backend"] == "cpu", "JAX side escaped to the chip"
         out["tpu_framework_step_s"] = round(mine_s, 4)
         out["tpu_framework_frames_per_sec"] = round(frames / mine_s, 2)
         out["speedup_same_cpu"] = round(ref_s / mine_s, 2)

@@ -65,7 +65,12 @@ def build_random_backbone_weights(weights_dir: str) -> None:
     npz format the converters produce — so all backbone code paths
     (resolution, loading, jit, device execution) are exercised even
     though no true pretrained weights exist on this host."""
+    # The parent process must NOT initialize the default (TPU) backend:
+    # the subprocess stages need the chip, and a single-client TPU would
+    # be held by this parent.  Random weight-building is CPU work.
     import jax
+
+    jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from playablevideogeneration_tpu.evaluation.metrics import i3d as i3d_lib
@@ -160,7 +165,12 @@ def main():
     parser.add_argument("--keep-fixture", action="store_true",
                         help="reuse an existing --root fixture/weights")
     args = parser.parse_args()
-    stages_wanted = set(args.stages.split(","))
+    stages_wanted = {s.strip() for s in args.stages.split(",") if s.strip()}
+    known = {"train", "resume", "play", "build", "evaluate"}
+    unknown = stages_wanted - known
+    if unknown or not stages_wanted:
+        raise SystemExit(f"--stages got {sorted(unknown) or 'nothing'}; "
+                         f"known stages: {sorted(known)}")
 
     env = dict(os.environ)
     env.pop("PVG_PLATFORM", None)

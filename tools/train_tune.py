@@ -75,6 +75,8 @@ def main():
     parser.add_argument("--no-remat", action="store_true")
     parser.add_argument("--steps", type=int, default=6)
     args = parser.parse_args()
+    if args.steps < 1:
+        raise SystemExit("--steps must be >= 1")
 
     for batch in [int(x) for x in args.batches.split(",")]:
         try:
