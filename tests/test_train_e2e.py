@@ -80,19 +80,29 @@ def test_train_checkpoint_eval_cycle(synthetic_run):
 
     variables = trainer2.state.variables()
     evaluator = evaluators["validation"]
-    evaluator.set_action_sampler(one_hot_action_sampler)
+    default_programs = dict(evaluator._jitted)  # Gumbel pass already compiled
+    evaluator.set_action_sampler(one_hot_action_sampler, label="one_hot")
     metrics_onehot = evaluator.evaluate(variables, step=3, save_images=False)
     assert all(np.isfinite(v) for v in metrics_onehot.values())
-    evaluator.set_action_sampler(make_ground_truth_action_sampler(mapping))
+    evaluator.set_action_sampler(make_ground_truth_action_sampler(mapping),
+                                 label="gt_actions")
     metrics_gt = evaluator.evaluate(variables, step=3, save_images=False)
     assert all(np.isfinite(v) for v in metrics_gt.values())
 
     # One-hot samples have zero entropy; Gumbel soft samples do not.
-    assert metrics_onehot["validation/samples_entropy"] < 1e-5
+    # Each pass logs under its label so wandb keeps all three at one step.
+    assert metrics_onehot["validation/one_hot/samples_entropy"] < 1e-5
     assert metrics["validation/samples_entropy"] > 1e-3
     # GT-mapped sampling feeds GT actions through the Hungarian mapping, so
     # the re-matched accuracy is exact by construction.
-    assert metrics_gt["validation/actions_accuracy"] > 0.999
+    assert metrics_gt["validation/gt_actions/actions_accuracy"] > 0.999
+
+    # Sampler swaps must NOT discard compiled programs: swapping back to
+    # the Gumbel sampler reuses its cached jit object (the old
+    # clear-on-swap forced three full recompiles per evaluation round).
+    evaluator.set_action_sampler(None)
+    for key, program in default_programs.items():
+        assert evaluator._jitted.get(key) is program
 
 
 def test_abstract_state_matches_init_state(synthetic_run):
