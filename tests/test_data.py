@@ -68,6 +68,34 @@ def test_dataset_stacking_clamps_at_start(synthetic_dataset_dir):
     # Observation 1 stacks frames [1, 0, 0]: newest-first.
     obs1 = s.observations[1]
     np.testing.assert_array_equal(obs1[..., 3:6], obs0[..., 0:3])
+    # Order sensitivity (the asserts above also hold oldest-first when
+    # frames coincide): a video of strictly DISTINCT constant-value
+    # frames pins newest-first stacking unambiguously.
+    from playablevideogeneration_tpu.data.video import Video
+
+    values = [10, 90, 170, 250]
+    frames = [np.full((32, 32, 3), v, np.uint8) for v in values]
+    video = Video().add_content(frames, [0] * 4, [0.0] * 4,
+                                [{} for _ in values], [False] * 3 + [True])
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        video.save(os.path.join(root, "00000"))
+        cfg2 = {"observations_count": 4, "observation_stacking": 3,
+                "skip_frames": 0}
+        ds2 = VideoDataset(root, cfg2, t)
+        s2 = ds2[0]
+        # Observation 1 = frames [1, 0, 0] newest-first: channel group 0
+        # must carry frame VALUE 1, groups 1-2 frame value 0.
+        def group_value(obs, g):
+            return float(obs[..., 3 * g : 3 * g + 3].mean())
+
+        v1, v0 = group_value(s2.observations[1], 0), group_value(
+            s2.observations[1], 1)
+        assert v1 > v0, "stacking regressed to oldest-first"
+        # Observation 3 stacks frames [3, 2, 1].
+        vals = [group_value(s2.observations[3], g) for g in range(3)]
+        assert vals[0] > vals[1] > vals[2]
 
 
 def test_skip_frames_spacing(tmp_path):
@@ -147,12 +175,6 @@ def test_splitter_flat_and_splitted(tmp_path):
 
 
 def test_loader_process_mode_matches_thread_mode(synthetic_dataset_dir):
-    import numpy as np
-
-    from playablevideogeneration_tpu.data.loader import DataLoader
-    from playablevideogeneration_tpu.data.transforms import make_train_transform
-    from playablevideogeneration_tpu.data.video_dataset import VideoDataset
-
     batching = {"batch_size": 2, "observations_count": 4, "skip_frames": 0,
                 "observation_stacking": 1, "num_workers": 2}
     transform = make_train_transform(None, (32, 32))
@@ -173,12 +195,6 @@ def test_loader_process_mode_matches_thread_mode(synthetic_dataset_dir):
 
 
 def test_loader_process_sharding_is_disjoint_and_complete(synthetic_dataset_dir):
-    import numpy as np
-
-    from playablevideogeneration_tpu.data.loader import DataLoader
-    from playablevideogeneration_tpu.data.transforms import make_train_transform
-    from playablevideogeneration_tpu.data.video_dataset import VideoDataset
-
     batching = {"batch_size": 1, "observations_count": 4, "skip_frames": 0,
                 "observation_stacking": 1, "num_workers": 1}
     transform = make_train_transform(None, (32, 32))
@@ -189,12 +205,22 @@ def test_loader_process_sharding_is_disjoint_and_complete(synthetic_dataset_dir)
         loader = DataLoader(dataset, batch_size=1, shuffle=True, drop_last=True,
                             num_workers=1, seed=7, shard_index=shard,
                             shard_count=2)
-        shard_actions = [tuple(np.asarray(b.actions[0]).tolist()) for b in loader]
+        # Exact sample identity: (video directory, start frame) — pixel
+        # bytes are NOT unique (the square can revisit positions).
+        idents = [(b.videos[0].root, b.initial_frames[0]) for b in loader]
         assert len(loader) == len(dataset) // 2
-        seen.append(shard_actions)
-    # Same-seed shuffles on each process produce disjoint strided shards
-    # covering the epoch.
-    assert len(seen[0]) + len(seen[1]) == (len(dataset) // 2) * 2
+        assert len(set(idents)) == len(idents)  # no duplicates in-shard
+        seen.append(set(idents))
+    # Same-seed shuffles on each process produce DISJOINT strided shards
+    # whose union covers the (truncated) epoch — the invariant that makes
+    # 2-host training see every sample exactly once.
+    assert not (seen[0] & seen[1]), \
+        "shards overlap: both hosts would train on the same samples"
+    full = {(b.videos[0].root, b.initial_frames[0])
+            for b in DataLoader(dataset, batch_size=1, shuffle=True,
+                                drop_last=True, num_workers=1, seed=7)}
+    assert (seen[0] | seen[1]) <= full
+    assert len(seen[0] | seen[1]) == (len(dataset) // 2) * 2
 
 
 def test_video_saver_timecoded_resampling(tmp_path):

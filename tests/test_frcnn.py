@@ -123,7 +123,9 @@ def test_frozen_bn_matches_torch():
 @pytest.mark.parametrize("stride,project", [(1, False), (2, True)])
 def test_bottleneck_matches_torch(stride, project):
     rng = _seed(32)
-    in_ch = 64 if not project else 64
+    # project=True exercises a CHANNEL-CHANGING 1x1 downsample (32 -> 64),
+    # not just a stride change; non-project needs in == width*4 for the add.
+    in_ch = 64 if not project else 32
     t = TBottleneck(in_ch, 16, stride=stride, project=project).eval()
     t.randomize()
     state = {f"backbone.body.layer1.0.{k.split('.', 1)[1]}": v

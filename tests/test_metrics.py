@@ -172,7 +172,8 @@ def test_results_plotter_curves(tmp_path):
     results = {"mse/avg": 0.5, "mse/0": 0.1, "mse/1": 0.2, "mse/2": 0.3,
                "psnr/0": 30.0}
     path = str(tmp_path / "data.yml")
-    yaml.safe_dump(results, open(path, "w"))
+    with open(path, "w") as f:
+        yaml.safe_dump(results, f)
     curve = results_plotter.positional_curve(results, "mse")
     np.testing.assert_allclose(curve, [0.1, 0.2, 0.3])
     assert results_plotter.positional_curve(results, "ssim") is None

@@ -97,6 +97,9 @@ def test_two_process_dp_matches_single_process(tmp_path):
 
     assert multi["process_count"] == 2 and multi["devices"] == 2
     assert single["process_count"] == 1
+    # The 1-proc-2-dev reference must actually BE 2 virtual devices or
+    # the rtol=1e-5 identical-program comparison below is meaningless.
+    assert single2["devices"] == 2, "jax_num_cpu_devices had no effect"
     # Inputs and initial state must be IDENTICAL by construction; a
     # mismatch here means the shard assembly or init diverged, not the
     # step math.

@@ -106,9 +106,21 @@ def test_fused_norm_act_matches_batchnorm_leaky_relu():
                                rtol=1e-5, atol=1e-5)
 
 
-def test_pallas_dispatch_off_tpu_uses_reference():
+def test_pallas_dispatch_off_tpu_uses_reference(monkeypatch):
     gates, c = _random_gate_inputs(seed=5)
+    # Spy: the TPU kernel path must NOT be taken on the CPU backend
+    # (comparing outputs alone is vacuous — the reference path IS
+    # _gate_math, so the numbers always agree).
+    def boom(*a, **k):
+        raise AssertionError("pallas kernel path taken on CPU backend")
+
+    monkeypatch.setattr(convlstm_gates, "_fused_gates_pallas", boom)
     got = convlstm_gates.fused_lstm_gates(gates, c)  # CPU backend here
     want = convlstm_gates._gate_math(gates, c)
-    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
-                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]), rtol=1e-6)
+    # And interpret=True must route through the kernel path (now the spy).
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="pallas kernel path"):
+        convlstm_gates.fused_lstm_gates(gates, c, interpret=True)
