@@ -54,10 +54,17 @@ def bench_readback_floor_ms() -> float:
 
 
 def bench_rollout(fn, args, streams: int = 4):
-    """Scripted rollout: one scan program emitting uint8 frames in
-    `streams` chunks, read back over concurrent host transfers (the
-    device->host link sustains ~1.4x higher throughput with parallel
-    streams than with one large copy)."""
+    """Scripted rollout, measured two ways off ONE compiled program:
+
+    - end-to-end fps: uint8 frames in `streams` chunks read back over
+      concurrent host transfers (the device->host link sustains ~1.4x
+      higher throughput with parallel streams than one large copy);
+    - device-only fps: the same program's device-side checksum scalar is
+      read back instead of the frames (a few bytes), so the timing proves
+      full scan execution without paying the frame transfer — model
+      regressions stay visible under the 2x run-to-run link noise.
+
+    Returns (end_to_end_fps, device_only_fps)."""
     import concurrent.futures as cf
 
     variables, carry, window, action, variation = args
@@ -74,14 +81,26 @@ def bench_rollout(fn, args, streams: int = 4):
         (carry, window), frames = jax.lax.scan(
             body, (carry, window), (actions, variations))
         chunks = [frames[i * chunk:(i + 1) * chunk] for i in range(streams)]
-        return carry, window, chunks
+        # Data-dependent on EVERY frame: reading this scalar forces the
+        # whole scan to execute (block_until_ready does not block through
+        # the tunnel; only host readbacks prove execution).
+        checksum = frames.astype(jnp.int32).sum()
+        return carry, window, chunks, checksum
 
     roll = jax.jit(rollout)
     actions = jnp.tile(action, (ROLLOUT_FRAMES, 1))
     variations = jnp.tile(variation, (ROLLOUT_FRAMES, 1))
     # Warm up / compile.
-    c, w, chunks = roll(variables, carry, window, actions, variations)
-    jax.block_until_ready(chunks)
+    c, w, chunks, checksum = roll(variables, carry, window, actions, variations)
+    np.asarray(checksum)
+
+    device_times = []
+    for _ in range(5):
+        start = time.perf_counter()
+        c, w, _, checksum = roll(variables, carry, window, actions, variations)
+        np.asarray(checksum)  # ~4-byte readback; no frame transfer
+        device_times.append(time.perf_counter() - start)
+    device_fps = ROLLOUT_FRAMES / float(np.percentile(device_times, 50))
 
     # The shared host link is the bottleneck and is noisy run-to-run
     # (observed 65-138 fps): take up to 9 samples under a 45 s cap for a
@@ -92,18 +111,30 @@ def bench_rollout(fn, args, streams: int = 4):
     with cf.ThreadPoolExecutor(streams) as pool:
         for _ in range(9):
             start = time.perf_counter()
-            c, w, chunks = roll(variables, carry, window, actions, variations)
+            c, w, chunks, _ = roll(variables, carry, window, actions, variations)
             frames = list(pool.map(np.asarray, chunks))  # concurrent D2H
             times.append(time.perf_counter() - start)
             if len(times) >= 5 and time.perf_counter() - sampling_start > 45:
                 break
     assert sum(f.shape[0] for f in frames) == ROLLOUT_FRAMES
-    return ROLLOUT_FRAMES / float(np.percentile(times, 50))
+    return ROLLOUT_FRAMES / float(np.percentile(times, 50)), device_fps
 
 
 def bench_interactive(fn, args):
-    """Interactive per-frame p50 latency: action in -> uint8 frame on host
-    (step dispatch + execution + device->host transfer, no overlap)."""
+    """Interactive per-frame latency off ONE compiled step program,
+    measured two ways:
+
+    - unpipelined p50: action in -> uint8 frame on host (dispatch +
+      execution + device->host transfer, no overlap) — worst-case
+      first-frame latency;
+    - pipelined p50: the double-buffered loop a real UI runs
+      (PlaySession.generate_next_u8(block=False),
+      inference/play_session.py:99-107): step N+1 is dispatched BEFORE
+      frame N is read back, so transfer overlaps compute and the
+      steady-state per-frame period approaches max(compute, readback)
+      — i.e. the link's readback floor.
+
+    Returns (unpipelined_p50_ms, pipelined_p50_ms)."""
     variables, carry, window, action, variation = args
 
     def step_u8(variables, carry, window, action, variation):
@@ -121,7 +152,21 @@ def bench_interactive(fn, args):
         carry, frame, window = step(variables, carry, window, action, variation)
         np.asarray(frame)  # the user sees the frame only after readback
         latencies.append(time.perf_counter() - start)
-    return float(np.percentile(latencies, 50)) * 1000.0
+    unpipelined = float(np.percentile(latencies, 50)) * 1000.0
+
+    # Double-buffered: hold frame N on device, dispatch step N+1, THEN
+    # read back frame N while N+1 computes.
+    carry, prev, window = step(variables, carry, window, action, variation)
+    periods = []
+    for _ in range(30):
+        start = time.perf_counter()
+        carry, frame, window = step(variables, carry, window, action, variation)
+        np.asarray(prev)  # frame N arrives while step N+1 computes
+        prev = frame
+        periods.append(time.perf_counter() - start)
+    np.asarray(prev)  # drain the last in-flight frame
+    pipelined = float(np.percentile(periods, 50)) * 1000.0
+    return unpipelined, pipelined
 
 
 def prepare_training_bench():
@@ -157,18 +202,36 @@ def prepare_training_bench():
 
     step_fn = trainer._get_train_step(T, pretraining=False)
 
-    def aval(x):
+    # Lower with the EXACT shardings finalize() will place the real
+    # arguments with (state via mesh.place_state, batch via the 'data'
+    # axis, everything else replicated) — on one device they coincide
+    # with unannotated avals, but on a multi-device mesh an executable
+    # compiled for unsharded inputs would reject the placed state.
+    from playablevideogeneration_tpu.parallel import mesh as mesh_lib
+
+    replicated = mesh_lib.replicated_sharding(trainer.mesh)
+
+    def aval(x, sharding=None):
         # Metadata only — no np.asarray(), which would read device
         # buffers back over the link.
-        return jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+        return jax.ShapeDtypeStruct(np.shape(x), x.dtype,
+                                    sharding=sharding or replicated)
 
+    abstract = trainer.abstract_state(batch)
+    abstract = jax.tree.map(
+        aval, abstract,
+        mesh_lib.state_shardings(trainer.mesh, abstract,
+                                 trainer._tp_min_channels))
     compiled = step_fn.lower(
-        trainer.abstract_state(batch),
-        jax.ShapeDtypeStruct((B, T, H, W, 3), jnp.float32),
-        jax.ShapeDtypeStruct((B, T), jnp.int32),
-        jax.ShapeDtypeStruct((), jnp.int32),
-        jax.ShapeDtypeStruct((), jnp.float32),
-        jax.ShapeDtypeStruct((2,), jnp.uint32),  # legacy PRNGKey layout
+        abstract,
+        jax.ShapeDtypeStruct((B, T, H, W, 3), jnp.float32,
+                             sharding=trainer._batch_sharded),
+        jax.ShapeDtypeStruct((B, T), jnp.int32,
+                             sharding=trainer._batch_sharded),
+        jax.ShapeDtypeStruct((), jnp.int32, sharding=replicated),
+        jax.ShapeDtypeStruct((), jnp.float32, sharding=replicated),
+        # legacy PRNGKey layout
+        jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=replicated),
         jax.tree.map(aval, trainer.vgg_variables),
     ).compile()
 
@@ -278,8 +341,11 @@ def main():
           lambda: np.asarray(jax.jit(lambda: jnp.zeros((8,)))()))
 
     fn, args = timed("entry", entry)
-    fps = timed("rollout", bench_rollout, fn, args)
+    fps, device_fps = timed("rollout", bench_rollout, fn, args)
     update(result, value=round(fps, 2), vs_baseline=round(fps / BASELINE_FPS, 3))
+    # Device-only fps separates model speed from the ~2x run-to-run
+    # noise of the shared device->host link.
+    update(result["extra"], rollout_device_fps=round(device_fps, 2))
     emit()  # headline secured
 
     # The readback floor contextualizes the interactive p50: ~35 ms of
@@ -288,10 +354,15 @@ def main():
     update(result["extra"], readback_floor_ms=round(
         timed("readback_floor", bench_readback_floor_ms), 2))
 
-    # Interactive p50 costs one small compile + ~30 x 40 ms of steps —
-    # always worth the time now that the headline is already out.
-    update(result["extra"], play_interactive_p50_latency_ms=round(
-        timed("interactive", bench_interactive, fn, args), 2))
+    # Interactive p50 costs one small compile + ~60 x 40 ms of steps —
+    # always worth the time now that the headline is already out.  The
+    # pipelined number is what a double-buffered UI sees (expected ~= the
+    # readback floor); the unpipelined one is worst-case single-frame.
+    p50, p50_pipelined = timed("interactive", bench_interactive, fn, args)
+    update(result["extra"],
+           play_interactive_p50_latency_ms=round(p50, 2),
+           play_pipelined_p50_latency_ms=round(p50_pipelined, 2),
+           play_pipelined_effective_fps=round(1000.0 / p50_pipelined, 2))
     emit()
 
     if train_thread is not None:

@@ -21,10 +21,14 @@ from playablevideogeneration_tpu.utils import checkpoint as ckpt_lib
 from playablevideogeneration_tpu.utils.logging import Logger
 
 
-def build_run(config_dict, use_wandb: bool = False):
-    """Constructs (model, datasets, trainer, evaluators) from a config."""
+def build_run(config_dict, use_wandb: bool = False, logger=None):
+    """Constructs (model, datasets, trainer, evaluators) from a config.
+
+    `logger` substitutes a custom Logger (e.g. the convergence soak's
+    metric-recording logger, tools/convergence_soak.py)."""
     registry._register_defaults()
-    logger = Logger(config_dict, use_wandb=use_wandb)
+    if logger is None:
+        logger = Logger(config_dict, use_wandb=use_wandb)
 
     model_factory = registry.resolve("model", config_dict["model"]["architecture"])
     model = model_factory(config_dict)

@@ -56,6 +56,8 @@ def build_synthetic_dataset(
     actions_count: int = 3,
     seed: int = 0,
     flat: bool = False,
+    square: int = 8,
+    step_pixels: int = 3,
 ) -> str:
     """Writes a splitted (train/ val/ test/) or flat synthetic dataset."""
     splits = [""] if flat else ["train", "val", "test"]
@@ -66,7 +68,8 @@ def build_synthetic_dataset(
         for v in range(videos_per_split):
             video = make_moving_square_video(
                 length=length, height=height, width=width,
-                actions_count=actions_count, seed=seed + idx)
+                actions_count=actions_count, seed=seed + idx,
+                square=square, step_pixels=step_pixels)
             video.save(os.path.join(split_dir, f"{idx:05d}"))
             idx += 1
     return root

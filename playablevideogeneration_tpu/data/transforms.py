@@ -31,6 +31,45 @@ def to_array(image: Image.Image) -> np.ndarray:
     return np.asarray(image, dtype=np.float32) / 255.0
 
 
+def sample_augmentation_transform(batching_config: Dict, rng=None):
+    """Samples one random affine augmentation (rotation about the image
+    center + translation + scale, bilinear) applicable to multiple frames
+    with the same effect (reference transforms.py:39-64 — present but
+    unused by the reference's shipped configs; kept for parity).
+
+    :param batching_config: needs ``rotation_range`` (degrees),
+        ``translation_range`` (pixels) and ``scale_range``, each a
+        (low, high) pair.
+    :param rng: optional ``random.Random`` for reproducibility.
+    :return: PIL.Image -> PIL.Image applying the sampled transform.
+    """
+    import math
+    import random as random_mod
+
+    rng = rng or random_mod
+    tx = rng.uniform(*batching_config["translation_range"])
+    ty = rng.uniform(*batching_config["translation_range"])
+    angle = rng.uniform(*batching_config["rotation_range"])
+    scale = rng.uniform(*batching_config["scale_range"])
+
+    def transform(image: Image.Image) -> Image.Image:
+        # PIL's Image.transform wants the OUTPUT->INPUT (inverse) affine
+        # map; this is the torchvision inverse matrix for rotation about
+        # the center composed with translation and uniform scale
+        # (torchvision.transforms.functional.affine semantics, shear 0).
+        cx, cy = image.size[0] * 0.5, image.size[1] * 0.5
+        rad = math.radians(angle)
+        a = math.cos(rad) / scale
+        b = math.sin(rad) / scale
+        matrix = [a, b, 0.0, -b, a, 0.0]
+        matrix[2] += matrix[0] * (-cx - tx) + matrix[1] * (-cy - ty) + cx
+        matrix[5] += matrix[3] * (-cx - tx) + matrix[4] * (-cy - ty) + cy
+        return image.transform(image.size, Image.AFFINE, matrix,
+                               resample=Image.BILINEAR)
+
+    return transform
+
+
 def make_train_transform(crop, target_size) -> Callable[[Image.Image], np.ndarray]:
     """[-1, 1]-normalized transform (reference transforms.py:90-105)."""
     resize = check_and_resize(crop, target_size)

@@ -72,9 +72,14 @@ class Evaluator:
 
     def _forward(self, variables, observations, actions, rng, observations_count):
         key = (self.action_sampler, observations_count)
-        if key not in self._jitted:
+        if key in self._jitted:
+            # LRU touch: the long-lived (None)/(one_hot) programs are the
+            # oldest entries; without this, rounds of fresh GT-mapping
+            # samplers would evict exactly the most-reused programs.
+            self._jitted[key] = self._jitted.pop(key)
+        else:
             # Bounded cache: fresh GT-mapping samplers arrive every round;
-            # evict the oldest program instead of growing forever.
+            # evict the least-recently-used program instead of growing forever.
             while len(self._jitted) >= 6:
                 del self._jitted[next(iter(self._jitted))]
             model = self.model

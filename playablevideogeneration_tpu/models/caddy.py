@@ -43,6 +43,24 @@ ActionSampler = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 VariationSampler = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
+def resolve_remat_policy(name: Optional[str]):
+    """Maps a `tpu.remat_policy` config string to a jax.checkpoint policy
+    (None = full rematerialization, the memory-minimal default)."""
+    if name is None or name == "full":
+        return None
+    if name == "dots":
+        # Saves every conv/matmul output inside the scan step; the
+        # backward then recomputes only elementwise/norm chains.
+        return jax.checkpoint_policies.dots_saveable
+    if name == "dots_no_batch":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if name.startswith("names:"):
+        names = [n for n in name[len("names:"):].split(",") if n]
+        return jax.checkpoint_policies.save_only_these_names(*names)
+    raise ValueError(f"Unknown tpu.remat_policy '{name}' "
+                     "(expected full|dots|dots_no_batch|names:<a,b,...>)")
+
+
 class Caddy(nn.Module):
     actions_count: int
     action_space_dimension: int
@@ -65,6 +83,14 @@ class Caddy(nn.Module):
     # FLOPs for O(T)-fold less activation memory — required for the
     # BAIR-class 256px workload to fit one chip's HBM.
     remat: bool = False
+    # Selective-checkpoint policy for the scan step (tools/remat_tune.py
+    # measures these on-chip):
+    #   None / "full"  recompute everything (minimum memory);
+    #   "dots"         save conv/matmul outputs inside the step, recompute
+    #                  only the cheap elementwise chain — cuts the
+    #                  backward's recompute FLOPs to ~0 at the cost of
+    #                  holding the step's conv activations.
+    remat_policy: Optional[str] = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -256,7 +282,11 @@ class Caddy(nn.Module):
             # batch_stats carry pytree is complete before scanning.
             step(self, carry0, jax.tree.map(lambda v: v[0], xs))
 
-        step_fn = nn.remat(step, prevent_cse=False) if self.remat else step
+        if self.remat:
+            step_fn = nn.remat(step, prevent_cse=False,
+                               policy=resolve_remat_policy(self.remat_policy))
+        else:
+            step_fn = step
         scan = nn.scan(step_fn, in_axes=0, out_axes=0, **self._scan_collections())
         _, (hiddens, recons, next_states, next_atts) = scan(self, carry0, xs)
 
@@ -343,7 +373,11 @@ class Caddy(nn.Module):
         if self.is_initializing():
             step(self, carry0, jax.tree.map(lambda v: v[0], xs))
 
-        step_fn = nn.remat(step, prevent_cse=False) if self.remat else step
+        if self.remat:
+            step_fn = nn.remat(step, prevent_cse=False,
+                               policy=resolve_remat_policy(self.remat_policy))
+        else:
+            step_fn = step
         scan = nn.scan(step_fn, in_axes=0, out_axes=0, **self._scan_collections())
         _, hiddens = scan(self, carry0, xs)
         hidden_states = tops.batch_major(hiddens)
@@ -461,6 +495,7 @@ def _model_from_config(config, rendering_widths=None) -> Caddy:
         rendering_widths=rendering_widths,
         pretraining_detach=config["training"].get("pretraining_detach", False),
         remat=config.get("tpu", {}).get("remat", False),
+        remat_policy=config.get("tpu", {}).get("remat_policy"),
         dtype=dtype,
     )
 

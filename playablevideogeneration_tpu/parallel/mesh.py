@@ -85,21 +85,27 @@ def param_shardings(mesh: Mesh, params, min_channels: int = 256):
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
-def place_state(mesh: Mesh, state, min_channels: int = 256):
-    """Places a TrainState: params and the Adam moments in opt_state follow
-    the tensor-parallel rules; batch_stats, EMA state and scalars
-    replicate.  Optimizer moments are matched STRUCTURALLY: any opt_state
-    subtree whose pytree structure equals the param tree (optax mu/nu)
-    receives the param shardings leaf-for-leaf."""
+def state_shardings(mesh: Mesh, state, min_channels: int = 256):
+    """The sharding pytree `place_state` realizes, as a TrainState-shaped
+    tree of NamedShardings.  `state` may hold real arrays OR
+    `jax.ShapeDtypeStruct`s (the rules only read shape/ndim), so AOT
+    lowering can annotate its avals with the exact shardings the placed
+    state will have — keeping compiled executables valid beyond 1 device.
+
+    Params and the Adam moments in opt_state follow the tensor-parallel
+    rules; batch_stats, EMA state and scalars replicate.  Optimizer
+    moments are matched STRUCTURALLY: any opt_state subtree whose pytree
+    structure equals the param tree (optax mu/nu) receives the param
+    shardings leaf-for-leaf."""
     shardings = param_shardings(mesh, state.params, min_channels)
     replicated = replicated_sharding(mesh)
     params_treedef = jax.tree_util.tree_structure(state.params)
 
-    def place_opt(node):
+    def opt_rule(node):
         if jax.tree_util.tree_structure(node) == params_treedef:
-            return jax.tree.map(jax.device_put, node, shardings)
+            return shardings
         if isinstance(node, tuple):  # optax states are (named)tuples
-            mapped = [place_opt(child) for child in node]
+            mapped = [opt_rule(child) for child in node]
             return type(node)(*mapped) if hasattr(node, "_fields") \
                 else tuple(mapped)
         if isinstance(node, (list, dict)):
@@ -107,22 +113,26 @@ def place_state(mesh: Mesh, state, min_channels: int = 256):
             out = type(node)()
             for key, child in items:
                 if isinstance(node, dict):
-                    out[key] = place_opt(child)
+                    out[key] = opt_rule(child)
                 else:
-                    out.append(place_opt(child))
+                    out.append(opt_rule(child))
             return out
-        return jax.tree.map(lambda x: jax.device_put(x, replicated), node)
+        return jax.tree.map(lambda x: replicated, node)
 
     return state.replace(
-        params=jax.tree.map(jax.device_put, state.params, shardings),
-        opt_state=place_opt(state.opt_state),
-        batch_stats=jax.tree.map(lambda x: jax.device_put(x, replicated),
-                                 state.batch_stats),
-        model_state=jax.tree.map(lambda x: jax.device_put(x, replicated),
-                                 state.model_state),
-        mi_matrix=jax.device_put(state.mi_matrix, replicated),
-        step=jax.device_put(state.step, replicated),
+        params=shardings,
+        opt_state=opt_rule(state.opt_state),
+        batch_stats=jax.tree.map(lambda x: replicated, state.batch_stats),
+        model_state=jax.tree.map(lambda x: replicated, state.model_state),
+        mi_matrix=replicated,
+        step=replicated,
     )
+
+
+def place_state(mesh: Mesh, state, min_channels: int = 256):
+    """Places a TrainState on the mesh per `state_shardings`."""
+    shardings = state_shardings(mesh, state, min_channels)
+    return jax.tree.map(jax.device_put, state, shardings)
 
 
 def put_batch(mesh: Mesh, array):

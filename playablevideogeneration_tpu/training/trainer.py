@@ -210,6 +210,12 @@ class Trainer:
             mesh = mesh_lib.make_mesh(devices, model_parallel=model_parallel)
         self.mesh = mesh
         self._tp_min_channels = config.get("tpu", {}).get("tp_min_channels", 256)
+        # wandb.watch equivalent (reference train.py:70): per-subnetwork
+        # gradient histograms, computed DEVICE-side (64 bins + edges per
+        # module, a few hundred bytes) so no gradient tensor crosses the
+        # link.  Off by default: scalar grad norms stay always-on.
+        self._grad_histograms = config.get("tpu", {}).get(
+            "grad_histograms", False)
         # TP x multi-host states checkpoint via orbax sharded save/restore
         # (utils/checkpoint.py): every process writes/reads only its own
         # shards, so no NotImplementedError guard is needed here anymore.
@@ -405,6 +411,24 @@ class Trainer:
             for module_name, module_grads in grads.items():
                 metrics[f"grad_norm/{module_name}"] = jnp.sqrt(
                     _sq_sum(module_grads))
+            if self._grad_histograms:
+                for module_name, module_grads in grads.items():
+                    flat = jnp.concatenate(
+                        [jnp.ravel(g).astype(jnp.float32)
+                         for g in jax.tree.leaves(module_grads)])
+                    # (counts, edges) matches np.histogram's contract, so
+                    # the host side can hand it straight to
+                    # wandb.Histogram(np_histogram=...).  Hand-rolled
+                    # rather than jnp.histogram so an all-equal gradient
+                    # tensor still yields non-degenerate edges under jit.
+                    lo, hi = flat.min(), flat.max()
+                    hi = jnp.where(hi <= lo, lo + 1e-12, hi)
+                    edges = lo + (hi - lo) * jnp.linspace(0.0, 1.0, 65)
+                    idx = jnp.clip(
+                        jnp.searchsorted(edges, flat, side="right") - 1,
+                        0, 63)
+                    counts = jnp.zeros((64,), jnp.int32).at[idx].add(1)
+                    metrics[f"_grad_hist/{module_name}"] = (counts, edges)
             # Always returned (a few KB): a separate plot-step program would
             # recompile the whole train step just to expose these.
             metrics["_plot_arrays"] = aux["plot_arrays"]
@@ -506,6 +530,9 @@ class Trainer:
             plot_arrays = metrics.pop("_plot_arrays")
             if want_plots:
                 self._plot_action_space(plot_arrays)
+            grad_hists = {k[len("_grad_hist/"):]: metrics.pop(k)
+                          for k in list(metrics)
+                          if k.startswith("_grad_hist/")}
             metrics = {k: float(v) for k, v in metrics.items()}
             metrics["step_time"] = time.perf_counter() - start
             # Device memory observability (reference MemoryDisplayer,
@@ -542,6 +569,10 @@ class Trainer:
                 if (self.global_step - 1) % 10 == 0:
                     logged = {f"train/{k}": v for k, v in avg.items()}
                     logged["train/lr"] = lr
+                    for name, np_histogram in grad_hists.items():
+                        hist = self.logger.histogram(np_histogram)
+                        if hist is not None:
+                            logged[f"train/grad_hist/{name}"] = hist
                     self.logger.log(logged, step=self.global_step)
 
         if self._profiling:  # short epoch: finalize the trace anyway

@@ -53,6 +53,16 @@ class Logger:
     def get_wandb(self):
         return self._wandb
 
+    def histogram(self, np_histogram):
+        """Wraps a precomputed (counts, bin_edges) pair as a wandb
+        Histogram (gradient-histogram logging, the wandb.watch equivalent
+        of reference train.py:70); None when wandb is off."""
+        if self._wandb is None:
+            return None
+        counts, edges = np_histogram
+        return self._wandb.Histogram(
+            np_histogram=(list(map(float, counts)), list(map(float, edges))))
+
     def log(self, values: Dict, step: Optional[int] = None):
         if self._wandb is not None:
             self._wandb.log(values, step=step)

@@ -63,14 +63,40 @@ def tiny_model():
 
 @pytest.fixture(scope="session")
 def tiny_variables(tiny_model):
+    """Init variables for the tiny CADDY, DISK-CACHED across test runs.
+
+    Tracing + compiling `model.init` for the scan-based model costs
+    ~100 s on this 1-core host (it dominated the whole fast tier), but
+    the result is a pure function of the model code and jax version — so
+    it is pickled under a key hashing `models/*.py`; any model-code edit
+    invalidates the cache automatically."""
+    import hashlib
+    import pickle
+
     import jax
     import jax.numpy as jnp
 
+    import playablevideogeneration_tpu.models as models_pkg
     from playablevideogeneration_tpu.models.caddy import init_model_variables
+
+    h = hashlib.sha256(jax.__version__.encode())
+    models_dir = os.path.dirname(models_pkg.__file__)
+    for name in sorted(os.listdir(models_dir)):
+        if name.endswith(".py"):
+            with open(os.path.join(models_dir, name), "rb") as f:
+                h.update(name.encode() + f.read())
+    cache = f"/tmp/pvg_test_tiny_variables_{h.hexdigest()[:16]}.pkl"
+    if os.path.isfile(cache):
+        with open(cache, "rb") as f:
+            return jax.tree.map(jnp.asarray, pickle.load(f))
 
     obs = jnp.zeros((2, 4, 32, 32, 6))
     acts = jnp.zeros((2, 4), jnp.int32)
-    return init_model_variables(tiny_model, jax.random.PRNGKey(0), obs, acts)
+    variables = init_model_variables(tiny_model, jax.random.PRNGKey(0), obs, acts)
+    with open(cache + ".tmp", "wb") as f:
+        pickle.dump(jax.device_get(variables), f)
+    os.replace(cache + ".tmp", cache)
+    return variables
 
 
 @pytest.fixture(scope="session")

@@ -22,6 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Oracle-transcription parity: minutes of torch+XLA compile on this host.
+pytestmark = pytest.mark.slow
+
 # 94 (inception) / 59 (i3d) chained conv+BN layers accumulate rounding
 # (measured: up to ~1e-3 absolute on O(0.1) activations at f32 — backend
 # conv summation orders differ); activations are O(1) by construction (BN

@@ -150,6 +150,57 @@ def test_transforms_crop_and_resize():
     assert out_eval.min() >= 0.0 and out_eval.max() <= 1.0
 
 
+def test_sample_augmentation_transform():
+    """Random-affine augmentation sampler (reference transforms.py:39-64):
+    identity parameters are a no-op, pure translation moves content by the
+    sampled offset, and one sampled transform applies the SAME effect to
+    every frame."""
+    import random
+
+    from PIL import Image
+
+    from playablevideogeneration_tpu.data.transforms import (
+        sample_augmentation_transform,
+    )
+
+    img = np.zeros((32, 32, 3), np.uint8)
+    img[10:14, 6:10] = 255
+    pil = Image.fromarray(img)
+
+    identity_cfg = {"rotation_range": (0, 0), "translation_range": (0, 0),
+                    "scale_range": (1.0, 1.0)}
+    out = np.asarray(sample_augmentation_transform(identity_cfg)(pil))
+    np.testing.assert_array_equal(out, img)
+
+    shift_cfg = {"rotation_range": (0, 0), "translation_range": (5, 5),
+                 "scale_range": (1.0, 1.0)}
+    t = sample_augmentation_transform(shift_cfg)
+    shifted = np.asarray(t(pil))
+    # Positive translation moves image content down-right by 5 px
+    # (torchvision.functional.affine semantics).
+    np.testing.assert_array_equal(shifted[15:19, 11:15], 255)
+    assert shifted[10:14, 6:10].max() == 0
+    # Consistency: the same sampled transform moves a DIFFERENT frame's
+    # content by the same offset.
+    img2 = np.zeros((32, 32, 3), np.uint8)
+    img2[2:4, 20:22] = 128
+    shifted2 = np.asarray(t(Image.fromarray(img2)))
+    np.testing.assert_array_equal(shifted2[7:9, 25:27], 128)
+
+    # Seeded rng makes the sampled parameters reproducible.
+    wide_cfg = {"rotation_range": (-30, 30), "translation_range": (-8, 8),
+                "scale_range": (0.8, 1.2)}
+    a = sample_augmentation_transform(wide_cfg, rng=random.Random(7))(pil)
+    b = sample_augmentation_transform(wide_cfg, rng=random.Random(7))(pil)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # 180-degree rotation about the center maps the square to its point
+    # reflection (rows 10:14, cols 6:10 -> rows 18:22, cols 22:26).
+    rot_cfg = {"rotation_range": (180, 180), "translation_range": (0, 0),
+               "scale_range": (1.0, 1.0)}
+    rotated = np.asarray(sample_augmentation_transform(rot_cfg)(pil))
+    assert rotated[19:21, 23:25].min() == 255
+
+
 def test_splitter_flat_and_splitted(tmp_path):
     from playablevideogeneration_tpu.data.splitter import generate_splits
 

@@ -50,6 +50,7 @@ def _eval_config(tmp_path, ref_dir, gen_dir, size=32, length=12, actions=3):
     }
 
 
+@pytest.mark.slow  # full CLI subprocess: ~25 s on this host
 def test_evaluate_dataset_cli_with_blob_detector(tmp_path, monkeypatch):
     from playablevideogeneration_tpu.cli.evaluate_dataset import evaluate_dataset
     from playablevideogeneration_tpu.config.configuration import (

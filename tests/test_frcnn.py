@@ -18,6 +18,9 @@ import torch.nn.functional as F
 
 from playablevideogeneration_tpu.evaluation.metrics import frcnn
 
+# Torch-clone parity suite: minutes of compile time on this host.
+pytestmark = pytest.mark.slow
+
 ATOL, RTOL = 1e-4, 1e-3
 
 

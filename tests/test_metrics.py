@@ -227,3 +227,81 @@ def test_ssim_matches_independent_reference_implementation():
                 per_channel.append(smap.mean())
             want[b, t] = np.mean(per_channel)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fid_cli_paths_and_stats(tmp_path, monkeypatch, capsys):
+    """Path-based FID CLI (reference pytorch_fid/fid_score.py:217-251):
+    image directories and .npz statistics inputs, --save-stats output,
+    mixed-resolution batching.  The Inception extractor is stubbed with a
+    cheap deterministic feature map — the real backbone has its own
+    oracle-parity tests."""
+    from PIL import Image
+
+    from playablevideogeneration_tpu.cli import fid as fid_cli
+
+    rng = np.random.default_rng(0)
+
+    def write_images(directory, n, base, size=12):
+        directory.mkdir()
+        for i in range(n):
+            img = np.clip(base + rng.integers(0, 40, (size, size, 3)),
+                          0, 255).astype(np.uint8)
+            Image.fromarray(img).save(directory / f"{i:03d}.png")
+
+    dir_a, dir_b = tmp_path / "a", tmp_path / "b"
+    write_images(dir_a, 5, base=30)
+    write_images(dir_b, 5, base=160)
+
+    def fake_extractor(frames):
+        frames = np.asarray(frames)
+        n = frames.shape[0]
+        flat = frames.reshape(n, -1)
+        return np.stack([flat.mean(1), flat.std(1), flat.max(1),
+                         flat.min(1)], axis=1)
+
+    monkeypatch.setattr("playablevideogeneration_tpu.utils.pretrained."
+                        "get_fid_extractor", lambda config: fake_extractor)
+
+    fid_cli.main([str(dir_a), str(dir_b), "--batch-size", "2", "--quiet"])
+    out = capsys.readouterr().out
+    assert out.startswith("FID: ")
+    cross = float(out.split("FID: ")[1])
+    assert np.isfinite(cross) and cross > 0
+
+    # Identical distributions -> FID 0.
+    fid_cli.main([str(dir_a), str(dir_a), "--quiet"])
+    same = float(capsys.readouterr().out.split("FID: ")[1])
+    assert same == pytest.approx(0.0, abs=1e-6)
+
+    # --save-stats roundtrip: cached statistics give the same distance.
+    stats = tmp_path / "stats" / "a.npz"
+    fid_cli.main(["--save-stats", str(dir_a), str(stats), "--quiet"])
+    capsys.readouterr()
+    assert stats.is_file()
+    fid_cli.main([str(stats), str(dir_b), "--quiet"])
+    from_stats = float(capsys.readouterr().out.split("FID: ")[1])
+    assert from_stats == pytest.approx(cross, rel=1e-9)
+
+    # Mixed resolutions split batches instead of crashing.
+    Image.fromarray(np.full((20, 20, 3), 30, np.uint8)).save(
+        dir_a / "zzz_big.png")
+    fid_cli.main([str(dir_a), str(dir_b), "--quiet"])
+    assert np.isfinite(float(capsys.readouterr().out.split("FID: ")[1]))
+
+
+def test_fid_cli_requires_weights_for_image_paths(tmp_path, monkeypatch):
+    from PIL import Image
+
+    from playablevideogeneration_tpu.cli import fid as fid_cli
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(d / "0.png")
+    monkeypatch.setattr("playablevideogeneration_tpu.utils.pretrained."
+                        "get_fid_extractor", lambda config: None)
+    with pytest.raises(SystemExit, match="No FID InceptionV3 weights"):
+        fid_cli.main([str(d), str(d)])
+    # Two .npz statistics files need no backbone at all.
+    np.savez(tmp_path / "s1.npz", mu=np.zeros(4), sigma=np.eye(4))
+    np.savez(tmp_path / "s2.npz", mu=np.ones(4), sigma=np.eye(4))
+    fid_cli.main([str(tmp_path / "s1.npz"), str(tmp_path / "s2.npz")])

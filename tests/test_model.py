@@ -196,6 +196,7 @@ def test_centroid_variations_formula():
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow  # ~30 s of grad-graph compile on this host
 def test_pretraining_detach_blocks_dynamics_gradients(tiny_model, tiny_variables):
     """pretraining_detach stops the dynamics->representation gradient path
     (reference model.py:425-431) and is rejected by the full forward
@@ -235,6 +236,7 @@ def test_pretraining_detach_blocks_dynamics_gradients(tiny_model, tiny_variables
                        train=False, rngs={"sample": jax.random.PRNGKey(0)})
 
 
+@pytest.mark.slow  # ~30 s of grad-graph compile on this host
 def test_remat_matches_plain_forward_and_grads(tiny_model, tiny_variables):
     """jax.checkpoint over the time scan must not change the math."""
     import dataclasses
@@ -265,3 +267,52 @@ def test_remat_matches_plain_forward_and_grads(tiny_model, tiny_variables):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6,
                                    err_msg=jax.tree_util.keystr(pa))
+
+
+@pytest.mark.slow  # grad-graph compile heavy, like the remat test above
+def test_selective_remat_policy_matches_plain_grads(tiny_model, tiny_variables):
+    """The selective checkpoint policy ('dots': save conv/matmul outputs
+    inside the scan step, recompute only elementwise chains) must be a
+    pure scheduling change — identical forward value and gradients."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    policy_model = dataclasses.replace(tiny_model, remat=True,
+                                       remat_policy="dots")
+    obs = jnp.asarray(np.random.default_rng(1)
+                      .normal(size=(2, 4, 32, 32, 6)).astype(np.float32) * 0.1)
+    acts = jnp.zeros((2, 4), jnp.int32)
+
+    def loss(model, params):
+        variables = dict(tiny_variables, params=params)
+        out = model.apply(variables, obs, acts, 1, pretraining=False,
+                          train=False, rngs={"sample": jax.random.PRNGKey(3)})
+        return jnp.mean(out.reconstructed_observations ** 2)
+
+    v_plain, g_plain = jax.value_and_grad(
+        lambda p: loss(tiny_model, p))(tiny_variables["params"])
+    v_policy, g_policy = jax.value_and_grad(
+        lambda p: loss(policy_model, p))(tiny_variables["params"])
+    np.testing.assert_allclose(float(v_plain), float(v_policy), rtol=1e-6)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_plain),
+            jax.tree_util.tree_leaves_with_path(g_policy)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+
+def test_resolve_remat_policy_names():
+    import jax
+
+    from playablevideogeneration_tpu.models.caddy import resolve_remat_policy
+
+    assert resolve_remat_policy(None) is None
+    assert resolve_remat_policy("full") is None
+    assert resolve_remat_policy("dots") is jax.checkpoint_policies.dots_saveable
+    assert callable(resolve_remat_policy("names:a,b"))
+    with pytest.raises(ValueError, match="Unknown tpu.remat_policy"):
+        resolve_remat_policy("bogus")

@@ -13,6 +13,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Backbone-clone parity: minutes of torch+XLA compile on this host.
+pytestmark = pytest.mark.slow
+
 from playablevideogeneration_tpu.utils import pretrained
 
 # Conv numerics differ across backends; parity checks use highest precision.

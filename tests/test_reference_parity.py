@@ -19,8 +19,12 @@ import numpy as np
 import pytest
 
 REFERENCE = "/root/reference"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
-                                reason="reference repo not available")
+pytestmark = [
+    pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                       reason="reference repo not available"),
+    # Runs the actual reference torch model side-by-side: slow tier.
+    pytest.mark.slow,
+]
 
 B, T, H, W = 2, 4, 32, 32
 STACKING = 2

@@ -30,6 +30,8 @@ def synthetic_run(tmp_path_factory):
     config["training"]["batching"]["observations_count_start"] = 4
     config["evaluation"]["batching"]["observations_count"] = 4
     config["evaluation"]["batching"]["batch_size"] = 2
+    # Exercise the wandb.watch-equivalent device-side gradient histograms.
+    config["tpu"] = {"grad_histograms": True}
     from playablevideogeneration_tpu.config.configuration import Configuration
 
     c = Configuration(config=config)
@@ -105,6 +107,7 @@ def test_train_checkpoint_eval_cycle(synthetic_run):
         assert evaluator._jitted.get(key) is program
 
 
+@pytest.mark.slow  # init_state traces the full model (~60 s here)
 def test_abstract_state_matches_init_state(synthetic_run):
     """trainer.abstract_state must mirror init_state's pytree exactly
     (same treedef, shapes, dtypes) — it is the contract bench.py relies
@@ -142,16 +145,30 @@ def test_aot_compiled_step_runs(synthetic_run):
     batch = collate([datasets["train"][0]])
     step_fn = trainer._get_train_step(4, pretraining=False)
 
-    def aval(x):
-        return jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+    # Shardings attached to the avals, exactly like bench.py — keeps the
+    # compiled executable valid for the placed state on any mesh shape.
+    from playablevideogeneration_tpu.parallel import mesh as mesh_lib
 
+    replicated = mesh_lib.replicated_sharding(trainer.mesh)
+
+    def aval(x, sharding=None):
+        return jax.ShapeDtypeStruct(np.shape(x), x.dtype,
+                                    sharding=sharding or replicated)
+
+    abstract = trainer.abstract_state(batch)
+    abstract = jax.tree.map(
+        aval, abstract,
+        mesh_lib.state_shardings(trainer.mesh, abstract,
+                                 trainer._tp_min_channels))
     compiled = step_fn.lower(
-        trainer.abstract_state(batch),
-        jax.ShapeDtypeStruct(np.shape(batch.observations), jnp.float32),
-        jax.ShapeDtypeStruct(np.shape(batch.actions), jnp.int32),
-        jax.ShapeDtypeStruct((), jnp.int32),
-        jax.ShapeDtypeStruct((), jnp.float32),
-        jax.ShapeDtypeStruct((2,), jnp.uint32),
+        abstract,
+        jax.ShapeDtypeStruct(np.shape(batch.observations), jnp.float32,
+                             sharding=trainer._batch_sharded),
+        jax.ShapeDtypeStruct(np.shape(batch.actions), jnp.int32,
+                             sharding=trainer._batch_sharded),
+        jax.ShapeDtypeStruct((), jnp.int32, sharding=replicated),
+        jax.ShapeDtypeStruct((), jnp.float32, sharding=replicated),
+        jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=replicated),
         jax.tree.map(aval, trainer.vgg_variables),
     ).compile()
 
@@ -167,3 +184,25 @@ def test_aot_compiled_step_runs(synthetic_run):
         trainer.vgg_variables)
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == step0 + 1
+
+
+def test_logger_histogram_wrapping():
+    """Logger.histogram wraps device-computed (counts, edges) pairs as
+    wandb Histograms when wandb is live, and degrades to None without it
+    (the wandb.watch equivalent of reference train.py:70)."""
+    from playablevideogeneration_tpu.utils.logging import Logger
+
+    logger = Logger(use_wandb=False)
+    assert logger.histogram((np.ones(4), np.arange(5.0))) is None
+
+    class FakeWandb:
+        def Histogram(self, np_histogram):
+            counts, edges = np_histogram
+            assert len(edges) == len(counts) + 1
+            return ("hist", tuple(counts), tuple(edges))
+
+    logger._wandb = FakeWandb()
+    counts = np.array([1, 2, 3, 0])
+    edges = np.linspace(-1.0, 1.0, 5)
+    got = logger.histogram((counts, edges))
+    assert got == ("hist", (1.0, 2.0, 3.0, 0.0), tuple(map(float, edges)))

@@ -1,0 +1,327 @@
+"""Convergence soak: PROVE the framework learns an action space.
+
+The reference's entire reason to exist is self-supervised action learning
+(reference README.md:18,31: train on unannotated video, discover discrete
+actions whose Hungarian-matched accuracy vs ground truth is scored by
+evaluation/evaluator.py:438-494).  This tool runs a real multi-phase
+training (pretraining -> full model, the reference train.py:61-109 loop)
+on the deterministic action-conditioned moving-square dataset
+(data/synthetic.py) long enough for the action space to form, and records
+the evidence:
+
+  - ``train_log.jsonl``     every trainer/evaluator metric logged, by step
+  - ``eval_curve.jsonl``    per-eval reconstruction losses + Hungarian
+                            actions_accuracy (chance = 1/actions_count)
+  - ``summary.json``        loss trend (first vs last window), final/best
+                            accuracy, per-action mean movements
+  - ``plots/``              the reference's density-plot set over
+                            (inferred action, GT square movement) pairs —
+                            separated clusters = a learned action space
+
+Resumable: checkpoints every eval; rerunning with the same --root resumes
+(the axon TPU tunnel drops occasionally — progress is never lost).
+
+Usage (real chip by default; --platform cpu for a host-only run):
+    python tools/convergence_soak.py --root /tmp/convergence_soak \
+        --steps 3000 --eval-every 250 --artifact-dir docs/convergence
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+CHANCE_NOTE = "chance accuracy = 1/actions_count"
+
+
+def build_config(args) -> dict:
+    """A scaled breakout-class config (reference configs/02_breakout.yaml:
+    smooth-MI trainer, MI lambda 0.15, gumbel 1.0->0.4, constant
+    teacher-forcing budget) sized for a ~`args.steps`-step run."""
+    from playablevideogeneration_tpu.data.synthetic import make_synthetic_config
+
+    size, t = args.size, args.observations
+    cfg = make_synthetic_config(
+        data_root=os.path.join(args.root, "data"),
+        output_root=os.path.join(args.root, "out"),
+        height=size, width=size, actions_count=args.actions,
+        batch_size=args.batch_size, observations_count=t,
+        observation_stacking=1,
+        hidden_state_size=args.hidden_state_size,
+        state_features=args.state_features,
+        pretraining_steps=args.pretraining_steps, max_steps=args.steps)
+    tr = cfg["training"]
+    tr["batching"]["observations_count_start"] = t
+    tr["batching"]["observations_count_steps"] = 1
+    # Breakout keeps 6 of 9 frames teacher-forced throughout
+    # (02_breakout.yaml:86-90); same ratio here.
+    tr["ground_truth_observations_start"] = args.gt_observations
+    tr["ground_truth_observations_end"] = args.gt_observations
+    tr["ground_truth_observations_steps"] = max(args.steps, 1)
+    tr["gumbel_temperature_start"] = 1.0
+    tr["gumbel_temperature_end"] = 0.4
+    tr["gumbel_temperature_steps"] = max(args.steps * 2 // 3, 1)
+    tr["save_freq"] = 10 * args.eval_every
+    cfg["evaluation"]["max_evaluation_batches"] = args.eval_batches
+    cfg["evaluation"]["batching"]["batch_size"] = 8
+    cfg["evaluation"]["batching"]["observations_count"] = t
+    cfg["tpu"] = {"compute_dtype": args.compute_dtype,
+                  "remat": bool(args.remat)}
+    return cfg
+
+
+class RecordingLogger:
+    """Logger that tees every metric dict into a JSONL artifact."""
+
+    def __init__(self, path: str):
+        from playablevideogeneration_tpu.utils.logging import Logger
+
+        self._inner = Logger(use_wandb=False)
+        self._f = open(path, "a")
+
+    def print(self, *a, **kw):
+        self._inner.print(*a, **kw)
+
+    def get_wandb(self):
+        return None
+
+    def histogram(self, np_histogram):
+        return None
+
+    def log(self, values, step=None):
+        record = {"step": step, "t": round(time.time(), 1)}
+        for key, value in values.items():
+            if isinstance(value, (int, float)):
+                record[key] = round(float(value), 6)
+        self._f.write(json.dumps(record) + "\n")
+        self._f.flush()
+
+
+def collect_action_movements(evaluator, variables, datasets, max_batches=12):
+    """(inferred action, GT square movement) pairs over the test split.
+
+    Inferred actions come from the model's action network on real
+    sequences (out.selected_actions); movements are the ground-truth
+    square position deltas stored in the synthetic Video metadata
+    ('state', data/synthetic.py:45) — the same protocol the offline BAIR
+    evaluator uses for its movement clusters
+    (evaluation/dataset_evaluator.py metadata movements)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from playablevideogeneration_tpu.data.loader import DataLoader
+
+    loader = DataLoader(datasets["test"], batch_size=8, shuffle=False,
+                        drop_last=True, num_workers=1)
+    evaluator.set_action_sampler(None)
+    all_actions, all_movements = [], []
+    rng = jax.random.PRNGKey(7)
+    for i, batch in enumerate(loader):
+        if i >= max_batches:
+            break
+        rng, sub = jax.random.split(rng)
+        obs = jnp.asarray(batch.observations)
+        out = evaluator._forward(variables, obs,
+                                 jnp.asarray(batch.actions), sub,
+                                 obs.shape[1])
+        selected = np.asarray(out.selected_actions)  # (B, T-1)
+        for b in range(selected.shape[0]):
+            video = batch.videos[b]
+            start = batch.initial_frames[b]
+            states = np.asarray(
+                [video.metadata[start + t]["state"]
+                 for t in range(batch.observations.shape[1])])
+            movement = states[1:] - states[:-1]  # (T-1, 2)
+            all_actions.append(selected[b])
+            all_movements.append(movement)
+    return np.concatenate(all_actions), np.concatenate(all_movements)
+
+
+def run_eval(evaluators, trainer, config, eval_f):
+    """One evaluation round following cli/train.py:99-115 (Gumbel pass for
+    losses, one-hot pass for the Hungarian mapping/accuracy)."""
+    from playablevideogeneration_tpu.evaluation.action_sampler import (
+        one_hot_action_sampler,
+    )
+
+    variables = trainer.state.variables()
+    ev = evaluators["validation"]
+    ev.set_action_sampler(None)
+    metrics = ev.evaluate(variables, trainer.global_step, save_images=True)
+    ev.set_action_sampler(one_hot_action_sampler, label="one_hot")
+    onehot = ev.evaluate(variables, trainer.global_step, save_images=False)
+    record = {
+        "step": trainer.global_step,
+        "observations_loss": metrics.get("validation/observations_loss/avg"),
+        "perceptual_loss": metrics.get("validation/perceptual_loss/avg"),
+        "states_loss": metrics.get("validation/states_loss/avg"),
+        "actions_accuracy": metrics.get("validation/actions_accuracy"),
+        "one_hot_actions_accuracy": onehot.get(
+            "validation/one_hot/actions_accuracy"),
+        "samples_entropy": metrics.get("validation/samples_entropy"),
+        "t": round(time.time(), 1),
+    }
+    eval_f.write(json.dumps(record) + "\n")
+    eval_f.flush()
+    return record
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--root", default="/tmp/convergence_soak")
+    parser.add_argument("--artifact-dir", default=None,
+                        help="where to copy the final evidence "
+                             "(default: <root>/artifacts)")
+    parser.add_argument("--platform", default=None,
+                        help="force a backend (e.g. cpu); default = "
+                             "whatever JAX picks (the real chip here)")
+    parser.add_argument("--steps", type=int, default=3000)
+    parser.add_argument("--pretraining-steps", type=int, default=300)
+    parser.add_argument("--eval-every", type=int, default=250)
+    parser.add_argument("--eval-batches", type=int, default=8)
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--size", type=int, default=48)
+    parser.add_argument("--observations", type=int, default=6)
+    parser.add_argument("--gt-observations", type=int, default=4)
+    parser.add_argument("--actions", type=int, default=3)
+    parser.add_argument("--hidden-state-size", type=int, default=32)
+    parser.add_argument("--state-features", type=int, default=32)
+    parser.add_argument("--compute-dtype", default="bfloat16")
+    parser.add_argument("--remat", type=int, default=0)
+    parser.add_argument("--videos-per-split", type=int, default=24)
+    parser.add_argument("--video-length", type=int, default=64)
+    parser.add_argument("--target-accuracy", type=float, default=0.9)
+    args = parser.parse_args()
+
+    if args.platform:
+        os.environ["PVG_PLATFORM"] = args.platform
+    from playablevideogeneration_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+
+    import numpy as np
+
+    from playablevideogeneration_tpu.config.configuration import Configuration
+    from playablevideogeneration_tpu.data.synthetic import (
+        build_synthetic_dataset,
+    )
+
+    os.makedirs(args.root, exist_ok=True)
+    data_root = os.path.join(args.root, "data")
+    if not os.path.isdir(os.path.join(data_root, "train")):
+        print(f"[soak] building synthetic dataset at {data_root}")
+        build_synthetic_dataset(
+            data_root, videos_per_split=args.videos_per_split,
+            length=args.video_length, height=args.size, width=args.size,
+            actions_count=args.actions, square=10, step_pixels=4)
+
+    configuration = Configuration(config=build_config(args))
+    configuration.check_config()
+    configuration.create_directory_structure()
+    config = configuration.get_config()
+
+    logger = RecordingLogger(os.path.join(args.root, "train_log.jsonl"))
+    from playablevideogeneration_tpu.cli.train import build_run
+    from playablevideogeneration_tpu.data.video_dataset import collate
+    from playablevideogeneration_tpu.utils import checkpoint as ckpt_lib
+
+    model, datasets, trainer, evaluators, logger = (
+        *build_run(config, logger=logger)[:4], logger)
+    trainer.init_state(collate([datasets["train"][0]]))
+    latest = os.path.join(config["logging"]["save_root_directory"], "latest")
+    if ckpt_lib.checkpoint_exists(latest):
+        trainer.load_checkpoint()
+        print(f"[soak] resumed at step {trainer.global_step}")
+
+    eval_path = os.path.join(args.root, "eval_curve.jsonl")
+    eval_f = open(eval_path, "a")
+    eval_records = []
+    start = time.time()
+    while trainer.global_step < args.steps:
+        boundary = min(
+            args.steps,
+            (trainer.global_step // args.eval_every + 1) * args.eval_every)
+        while trainer.global_step < boundary:
+            before = trainer.global_step
+            trainer.train_epoch(max_steps=boundary)
+            if trainer.global_step == before:
+                raise RuntimeError("no training steps performed this epoch")
+        trainer.state = trainer.state.replace(
+            step=trainer.state.step * 0 + trainer.global_step)
+        trainer.save_checkpoint()
+        record = run_eval(evaluators, trainer, config, eval_f)
+        eval_records.append(record)
+        print(f"[soak] step {record['step']}: "
+              f"rec={record['observations_loss']:.4f} "
+              f"acc={record['actions_accuracy']:.3f} "
+              f"({time.time() - start:.0f}s elapsed)")
+
+    # ---------------- evidence -------------------------------------- #
+    variables = trainer.state.variables()
+    actions, movements = collect_action_movements(
+        evaluators["validation"], variables, datasets)
+    artifact_dir = args.artifact_dir or os.path.join(args.root, "artifacts")
+    plots_dir = os.path.join(artifact_dir, "plots")
+    os.makedirs(plots_dir, exist_ok=True)
+    from playablevideogeneration_tpu.evaluation.plotting import density_plots
+
+    density_plots.plot_all(actions, movements, args.actions, plots_dir,
+                           prefix="soak_")
+
+    per_action = {}
+    for a in range(args.actions):
+        sel = movements[actions == a]
+        per_action[str(a)] = {
+            "count": int(sel.shape[0]),
+            "mean_movement": [round(float(v), 3) for v in sel.mean(0)]
+            if len(sel) else None,
+        }
+
+    # Loss trend: compare the first and last eval windows.
+    if not eval_records:  # resumed past the end: reload the curve
+        with open(eval_path) as f:
+            eval_records = [json.loads(line) for line in f if line.strip()]
+    first, last = eval_records[0], eval_records[-1]
+    best_acc = max(r["actions_accuracy"] for r in eval_records)
+    summary = {
+        "steps": trainer.global_step,
+        "pretraining_steps": args.pretraining_steps,
+        "actions_count": args.actions,
+        "chance_accuracy": round(1.0 / args.actions, 4),
+        "first_eval": first,
+        "last_eval": last,
+        "best_actions_accuracy": best_acc,
+        "loss_decreased": last["observations_loss"] < first["observations_loss"],
+        "target_accuracy": args.target_accuracy,
+        "target_met": best_acc >= args.target_accuracy,
+        "per_action_movements": per_action,
+        "wall_seconds": round(time.time() - start, 1),
+        "platform": args.platform or "default",
+        "note": CHANCE_NOTE,
+    }
+    with open(os.path.join(artifact_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    for name in ("train_log.jsonl", "eval_curve.jsonl"):
+        src = os.path.join(args.root, name)
+        if os.path.abspath(artifact_dir) != os.path.abspath(args.root):
+            import shutil
+
+            shutil.copyfile(src, os.path.join(artifact_dir, name))
+    print("[soak] " + json.dumps({k: summary[k] for k in (
+        "steps", "best_actions_accuracy", "chance_accuracy",
+        "loss_decreased", "target_met")}))
+    if not summary["target_met"]:
+        print("[soak] FAIL: action space did not reach target accuracy")
+        raise SystemExit(1)
+    print(f"[soak] PASS: evidence written to {artifact_dir}")
+
+
+if __name__ == "__main__":
+    main()

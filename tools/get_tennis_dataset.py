@@ -59,13 +59,15 @@ def main():
     # Segments are named {video}_{idx:05d}.mp4 (reference
     # split_and_resize_video.py:52), so the two videos can share one
     # directory and the annotation CSVs match per segment name.  The
-    # skip marker is the presence of this video's segments in the FINAL
-    # location: a crash between split and move re-runs the stage
-    # idempotently (ffmpeg -y overwrites).
+    # skip marker is a per-video .done sentinel written only after ALL of
+    # this video's segments landed in the final location: a crash anywhere
+    # mid-stage (split or partial move) re-runs the stage idempotently
+    # (ffmpeg -y overwrites; re-moves overwrite partial copies).
     segments_dir = os.path.join(args.workdir, "segments")
     os.makedirs(segments_dir, exist_ok=True)
     for name in VIDEOS:
-        if any(f.startswith(name + "_") for f in os.listdir(segments_dir)):
+        sentinel = os.path.join(segments_dir, f".{name}.done")
+        if os.path.isfile(sentinel):
             continue
         splits_dir = os.path.join(args.workdir, f"{name}_splits")
         run([sys.executable, "-m",
@@ -73,8 +75,12 @@ def main():
              "--video_path", os.path.join(args.workdir, f"{name}.mp4"),
              "--output_directory", splits_dir])
         for f in os.listdir(splits_dir):
-            shutil.move(os.path.join(splits_dir, f),
-                        os.path.join(segments_dir, f))
+            dst = os.path.join(segments_dir, f)
+            if os.path.exists(dst):
+                os.remove(dst)
+            shutil.move(os.path.join(splits_dir, f), dst)
+        with open(sentinel, "w") as fh:
+            fh.write("ok\n")
 
     staged = os.path.join(args.workdir, "tennis_v4_256_ours")
     # 3. Extract annotated sequences (get_tennis_dataset.sh:21).

@@ -30,7 +30,7 @@ os.environ.setdefault(
 
 
 def measure(batch: int, remat: bool, steps: int, height: int = 256,
-            width: int = 256, t: int = 12) -> dict:
+            width: int = 256, t: int = 12, remat_policy=None) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -43,7 +43,7 @@ def measure(batch: int, remat: bool, steps: int, height: int = 256,
 
     trainer = build_synthetic_trainer(
         height=height, width=width, batch_size=batch, observations_count=t,
-        remat=remat, output_root="/tmp/pvg_tune")
+        remat=remat, remat_policy=remat_policy, output_root="/tmp/pvg_tune")
     b = make_synthetic_batch(batch_size=batch, observations_count=t,
                              height=height, width=width)
     trainer.init_state(b)
@@ -62,11 +62,19 @@ def measure(batch: int, remat: bool, steps: int, height: int = 256,
                                      vgg_variables=trainer.vgg_variables,
                                      steps=steps)
     assert np.isfinite(loss), "non-finite loss in tuning run"
-    return {"batch": batch, "remat": remat, "t": t, "px": height,
+    out = {"batch": batch, "remat": remat, "remat_policy": remat_policy,
+            "t": t, "px": height,
             "compile_s": round(compile_s, 1),
             "step_ms": round(step_s * 1000, 1),
             "frames_per_sec": round(batch * t / step_s, 1),
             "warm_loss": round(warm_loss, 3)}
+    try:  # peak HBM shows what each checkpoint policy buys/costs
+        stats = jax.local_devices()[0].memory_stats() or {}
+        if "peak_bytes_in_use" in stats:
+            out["peak_hbm_gb"] = round(stats["peak_bytes_in_use"] / 2**30, 2)
+    except Exception:
+        pass
+    return out
 
 
 def main():
@@ -74,17 +82,23 @@ def main():
     parser.add_argument("--batches", default="8,16")
     parser.add_argument("--no-remat", action="store_true")
     parser.add_argument("--steps", type=int, default=6)
+    parser.add_argument("--policies", default="full",
+                        help="comma-separated remat policies to sweep "
+                             "(full|dots|dots_no_batch), e.g. 'full,dots'")
     args = parser.parse_args()
     if args.steps < 1:
         raise SystemExit("--steps must be >= 1")
 
     for batch in [int(x) for x in args.batches.split(",")]:
-        try:
-            out = measure(batch, remat=not args.no_remat, steps=args.steps)
-        except Exception as e:  # OOM at large batch is a finding, not a crash
-            out = {"batch": batch, "remat": not args.no_remat,
-                   "error": str(e)[:200]}
-        print(json.dumps(out), flush=True)
+        for policy in [p.strip() for p in args.policies.split(",") if p.strip()]:
+            policy_arg = None if policy == "full" else policy
+            try:
+                out = measure(batch, remat=not args.no_remat,
+                              steps=args.steps, remat_policy=policy_arg)
+            except Exception as e:  # OOM at large batch is a finding
+                out = {"batch": batch, "remat": not args.no_remat,
+                       "remat_policy": policy_arg, "error": str(e)[:200]}
+            print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
