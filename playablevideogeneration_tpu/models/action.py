@@ -53,10 +53,17 @@ class ActionNetwork(nn.Module):
                           train=train, dtype=self.dtype, name="res1")(x)
         x = jnp.mean(x, axis=(1, 2))  # global average pool -> (B*T, 2*sf)
 
-        mean = nn.Dense(self.action_space_dimension, dtype=self.dtype,
+        # The distribution heads run in float32 even under a bfloat16
+        # compute dtype: as training sharpens the posterior, per-sample
+        # variances reach ~1e-8 where bf16's 8-bit mantissa rounds them to
+        # exactly 0, and the KL's log(variance) then NaNs the whole step
+        # (observed at step ~6.1k of the convergence soak).  These heads
+        # are (N, D)-tiny, so f32 here costs nothing.
+        x = x.astype(jnp.float32)
+        mean = nn.Dense(self.action_space_dimension, dtype=jnp.float32,
                         param_dtype=jnp.float32, name="mean_fc")(x)
         # abs() maps the variance head to positive values (reference a.py:92).
-        variance = jnp.abs(nn.Dense(self.action_space_dimension, dtype=self.dtype,
+        variance = jnp.abs(nn.Dense(self.action_space_dimension, dtype=jnp.float32,
                                     param_dtype=jnp.float32, name="variance_fc")(x))
         states_distribution = jnp.stack([mean, variance], axis=1)  # (B*T, 2, D)
 

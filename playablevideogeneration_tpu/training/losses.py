@@ -92,11 +92,16 @@ def kl_divergence_categorical(input_logits: jnp.ndarray,
 
 def kl_gaussian_divergence(distribution_parameters: jnp.ndarray) -> jnp.ndarray:
     """KL(diag Gaussian || N(0, 1)) from (mean, variance) pairs
-    (reference losses.py:146-169)."""
+    (reference losses.py:146-169).
+
+    The 1e-20 floor under the log is invisible at reference numerics
+    (the torch f32 version never reaches it) but keeps the loss and its
+    gradient finite if a sharpened posterior's variance underflows to
+    exactly 0 — without it one such sample NaNs the entire train step."""
     d = distribution_parameters.shape[-1]
-    p = distribution_parameters.reshape((-1, 2, d))
+    p = distribution_parameters.reshape((-1, 2, d)).astype(jnp.float32)
     mean, variance = p[:, 0], p[:, 1]
-    kl = 1.0 + jnp.log(variance) - mean**2 - variance
+    kl = 1.0 + jnp.log(jnp.maximum(variance, 1e-20)) - mean**2 - variance
     return -0.5 * jnp.mean(kl.sum(axis=-1))
 
 
@@ -106,15 +111,17 @@ def kl_general_gaussian_divergence(distribution_parameters: jnp.ndarray,
     """KL between two diag Gaussians; variances detached and clamped >= eps
     (reference losses.py:172-209)."""
     d = distribution_parameters.shape[-1]
-    p = distribution_parameters.reshape((-1, 2, d))
-    q = reference_distribution_parameters.reshape((-1, 2, d))
+    p = distribution_parameters.reshape((-1, 2, d)).astype(jnp.float32)
+    q = reference_distribution_parameters.reshape((-1, 2, d)).astype(jnp.float32)
     mean = p[:, 0]
     variance = jax.lax.stop_gradient(p[:, 1])
     ref_mean = q[:, 0]
     ref_variance = jax.lax.stop_gradient(q[:, 1])
 
-    log_variance = jnp.log(variance)
-    ref_log_variance = jnp.log(ref_variance)
+    # Same 1e-20 underflow floor as kl_gaussian_divergence: reference-
+    # invisible, but a single zero variance must not NaN the step.
+    log_variance = jnp.log(jnp.maximum(variance, 1e-20))
+    ref_log_variance = jnp.log(jnp.maximum(ref_variance, 1e-20))
     variance = jnp.clip(variance, min=eps)
     ref_variance = jnp.clip(ref_variance, min=eps)
 

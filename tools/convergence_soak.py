@@ -68,6 +68,16 @@ def build_config(args) -> dict:
     tr["gumbel_temperature_end"] = 0.4
     tr["gumbel_temperature_steps"] = max(args.steps * 2 // 3, 1)
     tr["save_freq"] = 10 * args.eval_every
+    if args.no_variations:
+        # Controlled action-learning setting: with the continuous
+        # variation channel off (model config `use_variations`, reference
+        # model.py:150-152 equivalent), ALL motion information must flow
+        # through the discrete action + its centroid direction — the
+        # cleanest demonstration that the framework learns a GT-aligned
+        # action space.  (With variations on, the 2-D continuous channel
+        # can carry the motion and the discrete partition may stay
+        # unaligned for a long time — the reference trains 300k steps.)
+        cfg["model"]["action_network"]["use_variations"] = False
     cfg["evaluation"]["max_evaluation_batches"] = args.eval_batches
     cfg["evaluation"]["batching"]["batch_size"] = 8
     cfg["evaluation"]["batching"]["observations_count"] = t
@@ -198,6 +208,9 @@ def main():
     parser.add_argument("--videos-per-split", type=int, default=24)
     parser.add_argument("--video-length", type=int, default=64)
     parser.add_argument("--target-accuracy", type=float, default=0.9)
+    parser.add_argument("--no-variations", action="store_true",
+                        help="disable the continuous variation channel so "
+                             "motion must flow through the discrete actions")
     args = parser.parse_args()
 
     if args.platform:
@@ -284,10 +297,10 @@ def main():
             if len(sel) else None,
         }
 
-    # Loss trend: compare the first and last eval windows.
-    if not eval_records:  # resumed past the end: reload the curve
-        with open(eval_path) as f:
-            eval_records = [json.loads(line) for line in f if line.strip()]
+    # Loss trend: compare the first and last eval windows over the FULL
+    # history (the curve file is appended across resumed invocations).
+    with open(eval_path) as f:
+        eval_records = [json.loads(line) for line in f if line.strip()]
     first, last = eval_records[0], eval_records[-1]
     best_acc = max(r["actions_accuracy"] for r in eval_records)
     summary = {
@@ -304,6 +317,7 @@ def main():
         "per_action_movements": per_action,
         "wall_seconds": round(time.time() - start, 1),
         "platform": args.platform or "default",
+        "use_variations": not args.no_variations,
         "note": CHANCE_NOTE,
     }
     with open(os.path.join(artifact_dir, "summary.json"), "w") as f:
