@@ -33,17 +33,25 @@ def make_moving_square_video(
     y = int(rng.integers(0, height - square))
     frames, actions, rewards, metadata, dones = [], [], [], [], []
     for t in range(length):
-        action = int(rng.integers(0, actions_count))
-        dx, dy = _ACTION_DELTAS[action % len(_ACTION_DELTAS)]
-        x = int(np.clip(x + dx * step_pixels, 0, width - square))
-        y = int(np.clip(y + dy * step_pixels, 0, height - square))
+        # Reference action convention (gym-style recordings): actions[t]
+        # is taken AT frame t and causes the transition to frame t+1 —
+        # the in-training evaluator's Hungarian accuracy labels
+        # transitions with actions[:, :-1] (reference evaluator.py:207),
+        # and the GT-action sampler feeds actions[t] to transition t.
+        # (An earlier version recorded the action on the frame it moved
+        # INTO, shifting every accuracy label by one step — iid actions
+        # made the metric read ~chance no matter how good the model.)
         frame = np.full((height, width, 3), 32, dtype=np.uint8)
         frame[y : y + square, x : x + square] = (220, 60, 60)
+        action = int(rng.integers(0, actions_count))
         frames.append(frame)
         actions.append(action)
         rewards.append(0.0)
         metadata.append({"state": [float(x), float(y)]})
         dones.append(t == length - 1)
+        dx, dy = _ACTION_DELTAS[action % len(_ACTION_DELTAS)]
+        x = int(np.clip(x + dx * step_pixels, 0, width - square))
+        y = int(np.clip(y + dy * step_pixels, 0, height - square))
     return Video().add_content(frames, actions, rewards, metadata, dones)
 
 
@@ -88,6 +96,7 @@ def make_synthetic_config(
     state_features: int = 16,
     pretraining_steps: int = 2,
     max_steps: int = 6,
+    action_space_dimension: int = 2,
 ) -> dict:
     """A minimal-but-complete run config for the synthetic dataset,
     following the reference YAML schema (configs/02_breakout.yaml)."""
@@ -123,7 +132,9 @@ def make_synthetic_config(
                 "hard_gumbel": False,
                 "ensamble_size": 1,
                 "gumbel_temperature": 1.0,
-                "action_space_dimension": 2,
+                # The reference uses 1 for 1-D motion (breakout,
+                # 02_breakout.yaml:56) and 2 for 2-D motion (tennis).
+                "action_space_dimension": action_space_dimension,
             },
             "centroid_estimator": {"alpha": 0.1},
         },

@@ -315,3 +315,25 @@ def test_loader_uneven_shards_truncate_to_equal_counts():
         lengths.append(len(idxs))
         assert len(loader) == len(idxs)
     assert lengths[0] == lengths[1] == 5
+
+
+def test_synthetic_action_convention_matches_evaluator_labels():
+    """actions[t] must cause the transition t -> t+1 (the gym-recording
+    convention the reference evaluator's Hungarian labels assume,
+    reference evaluator.py:207: transitions are labeled actions[:, :-1]).
+    A label shift here silently floors the accuracy metric at chance."""
+    v = make_moving_square_video(length=48, height=48, width=48,
+                                 actions_count=3, seed=5, step_pixels=4)
+    states = np.asarray([m["state"] for m in v.metadata])
+    moves = states[1:] - states[:-1]
+    acts = np.asarray(v.actions)[:-1]  # evaluator's transition labels
+    motion_label = np.where(moves[:, 0] > 0, 2,
+                            np.where(moves[:, 0] < 0, 1, 0))
+    # Wherever the square actually moved, the motion must match the
+    # transition's action label exactly.
+    moving = moves[:, 0] != 0
+    assert moving.any()
+    np.testing.assert_array_equal(motion_label[moving], acts[moving])
+    # Border clamps make some 'left'/'right' actions motionless, but
+    # overall consistency stays far above chance.
+    assert (motion_label == acts).mean() > 0.8

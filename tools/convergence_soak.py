@@ -55,7 +55,8 @@ def build_config(args) -> dict:
         observation_stacking=1,
         hidden_state_size=args.hidden_state_size,
         state_features=args.state_features,
-        pretraining_steps=args.pretraining_steps, max_steps=args.steps)
+        pretraining_steps=args.pretraining_steps, max_steps=args.steps,
+        action_space_dimension=args.action_space_dimension)
     tr = cfg["training"]
     tr["batching"]["observations_count_start"] = t
     tr["batching"]["observations_count_steps"] = 1
@@ -208,6 +209,10 @@ def main():
     parser.add_argument("--videos-per-split", type=int, default=24)
     parser.add_argument("--video-length", type=int, default=64)
     parser.add_argument("--target-accuracy", type=float, default=0.9)
+    parser.add_argument("--action-space-dimension", type=int, default=1,
+                        help="direction-latent dims; the reference uses 1 "
+                             "for 1-D motion like this dataset's "
+                             "(02_breakout.yaml:56)")
     parser.add_argument("--no-variations", action="store_true",
                         help="disable the continuous variation channel so "
                              "motion must flow through the discrete actions")
@@ -318,6 +323,7 @@ def main():
         "wall_seconds": round(time.time() - start, 1),
         "platform": args.platform or "default",
         "use_variations": not args.no_variations,
+        "action_space_dimension": args.action_space_dimension,
         "note": CHANCE_NOTE,
     }
     with open(os.path.join(artifact_dir, "summary.json"), "w") as f:
