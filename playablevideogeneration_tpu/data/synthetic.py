@@ -26,11 +26,18 @@ def make_moving_square_video(
     actions_count: int = 3,
     seed: int = 0,
     step_pixels: int = 3,
+    fixed_y: Optional[int] = None,
 ) -> Video:
-    """Generates one video with per-frame ground-truth actions."""
+    """Generates one video with per-frame ground-truth actions.
+
+    ``fixed_y`` pins the square's row globally (breakout-style: the
+    reference's breakout platform moves on one fixed row).  Without it,
+    3-action (x-only) videos each carry a random constant y — a nuisance
+    stratum a 1-D direction latent can legally sign-flip across, which
+    caps Hungarian accuracy near 50% on the moving classes."""
     rng = np.random.default_rng(seed)
     x = int(rng.integers(0, width - square))
-    y = int(rng.integers(0, height - square))
+    y = int(rng.integers(0, height - square)) if fixed_y is None else fixed_y
     frames, actions, rewards, metadata, dones = [], [], [], [], []
     for t in range(length):
         # Reference action convention (gym-style recordings): actions[t]
@@ -66,6 +73,7 @@ def build_synthetic_dataset(
     flat: bool = False,
     square: int = 8,
     step_pixels: int = 3,
+    fixed_y: Optional[int] = None,
 ) -> str:
     """Writes a splitted (train/ val/ test/) or flat synthetic dataset."""
     splits = [""] if flat else ["train", "val", "test"]
@@ -77,7 +85,7 @@ def build_synthetic_dataset(
             video = make_moving_square_video(
                 length=length, height=height, width=width,
                 actions_count=actions_count, seed=seed + idx,
-                square=square, step_pixels=step_pixels)
+                square=square, step_pixels=step_pixels, fixed_y=fixed_y)
             video.save(os.path.join(split_dir, f"{idx:05d}"))
             idx += 1
     return root

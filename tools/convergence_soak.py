@@ -213,6 +213,9 @@ def main():
                         help="direction-latent dims; the reference uses 1 "
                              "for 1-D motion like this dataset's "
                              "(02_breakout.yaml:56)")
+    parser.add_argument("--fixed-y", action="store_true",
+                        help="pin the square's row globally (breakout-style "
+                             "1-D world; removes the per-video y stratum)")
     parser.add_argument("--no-variations", action="store_true",
                         help="disable the continuous variation channel so "
                              "motion must flow through the discrete actions")
@@ -232,13 +235,19 @@ def main():
     )
 
     os.makedirs(args.root, exist_ok=True)
+    # Persist the run configuration so companion tools (resume, the
+    # action-space diagnostic) can rebuild the identical setup.
+    with open(os.path.join(args.root, "run_args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
     data_root = os.path.join(args.root, "data")
     if not os.path.isdir(os.path.join(data_root, "train")):
         print(f"[soak] building synthetic dataset at {data_root}")
+        fixed_y = (args.size - 10) // 2 if args.fixed_y else None
         build_synthetic_dataset(
             data_root, videos_per_split=args.videos_per_split,
             length=args.video_length, height=args.size, width=args.size,
-            actions_count=args.actions, square=10, step_pixels=4)
+            actions_count=args.actions, square=10, step_pixels=4,
+            fixed_y=fixed_y)
 
     configuration = Configuration(config=build_config(args))
     configuration.check_config()
@@ -261,6 +270,9 @@ def main():
     eval_path = os.path.join(args.root, "eval_curve.jsonl")
     eval_f = open(eval_path, "a")
     eval_records = []
+    best_seen = max((json.loads(l)["actions_accuracy"]
+                     for l in open(eval_path) if l.strip()), default=0.0) \
+        if os.path.exists(eval_path) else 0.0
     start = time.time()
     while trainer.global_step < args.steps:
         boundary = min(
@@ -276,6 +288,11 @@ def main():
         trainer.save_checkpoint()
         record = run_eval(evaluators, trainer, config, eval_f)
         eval_records.append(record)
+        if record["actions_accuracy"] > best_seen:
+            # At toy scale the discrete space can churn after it peaks —
+            # keep the peak-accuracy checkpoint for the artifact.
+            best_seen = record["actions_accuracy"]
+            trainer.save_checkpoint("best_accuracy")
         print(f"[soak] step {record['step']}: "
               f"rec={record['observations_loss']:.4f} "
               f"acc={record['actions_accuracy']:.3f} "
