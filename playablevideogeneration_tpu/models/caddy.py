@@ -91,6 +91,9 @@ class Caddy(nn.Module):
     #                  backward's recompute FLOPs to ~0 at the cost of
     #                  holding the step's conv activations.
     remat_policy: Optional[str] = None
+    # Space-to-depth factors for the rendering RGB heads (see
+    # RenderingNetwork.final_subpixel); same math, MXU-friendly layout.
+    rendering_subpixel: Tuple[int, int, int] = (0, 0, 4)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -118,7 +121,9 @@ class Caddy(nn.Module):
             self.hidden_state_size // 2,
             self.hidden_state_size // 4,
         )
-        self.rendering_network = RenderingNetwork(widths=tuple(widths), dtype=self.dtype)
+        self.rendering_network = RenderingNetwork(
+            widths=tuple(widths), final_subpixel=self.rendering_subpixel,
+            dtype=self.dtype)
         # Projects states to hidden states during pretraining
         # (reference model.py:41-43).
         self.state_to_hidden = nn.Conv(
@@ -496,6 +501,8 @@ def _model_from_config(config, rendering_widths=None) -> Caddy:
         pretraining_detach=config["training"].get("pretraining_detach", False),
         remat=config.get("tpu", {}).get("remat", False),
         remat_policy=config.get("tpu", {}).get("remat_policy"),
+        rendering_subpixel=tuple(
+            config.get("tpu", {}).get("rendering_subpixel", (0, 0, 4))),
         dtype=dtype,
     )
 

@@ -23,6 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from playablevideogeneration_tpu.ops.subpixel_conv import subpixel_conv
+
 Dtype = Any
 
 
@@ -217,17 +219,54 @@ class UpBlock(nn.Module):
         return out
 
 
-class FinalBlock(nn.Module):
-    """conv -> tanh, producing an image in [-1, 1] (reference final_block.py:24-29)."""
+class _SubpixelConv(nn.Module):
+    """SAME conv computed on the space-to-depth block grid.
 
-    out_planes: int
-    kernel_size: int = 3
+    Drop-in replacement for ``nn.Conv(features, (k, k), use_bias=True)``:
+    identical parameter tree (kernel [k,k,Cin,Cout] + bias, same
+    initializers), identical math (ops/subpixel_conv.py proves tap-for-tap
+    equality) — but the MXU sees f²·Cout output lanes instead of Cout,
+    which is what makes the few-channel RGB head fast (docs/PROFILE_r4.md:
+    the direct 7x7 32->3 conv ran at 1.1 TF/s, 27% of the train step).
+    """
+
+    features: int
+    kernel_size: int
+    factor: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.out_planes, (self.kernel_size, self.kernel_size), use_bias=True,
-                    dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+        k = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        return subpixel_conv(x, kernel, self.factor) + bias
+
+
+class FinalBlock(nn.Module):
+    """conv -> tanh, producing an image in [-1, 1] (reference final_block.py:24-29).
+
+    ``subpixel_factor`` > 0 computes the same conv via the space-to-depth
+    reformulation when the resolution divides by the factor; 0 keeps the
+    direct conv."""
+
+    out_planes: int
+    kernel_size: int = 3
+    dtype: Dtype = jnp.float32
+    subpixel_factor: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.subpixel_factor
+        if f and x.shape[1] % f == 0 and x.shape[2] % f == 0:
+            x = _SubpixelConv(features=self.out_planes, kernel_size=self.kernel_size,
+                              factor=f, dtype=self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(self.out_planes, (self.kernel_size, self.kernel_size), use_bias=True,
+                        dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
         return jnp.tanh(x)
 
 

@@ -21,6 +21,11 @@ from playablevideogeneration_tpu.models.layers import FinalBlock, ResidualBlock,
 class RenderingNetwork(nn.Module):
     widths: Tuple[int, int, int]  # output channels of the three upsample stages
     dtype: Any = jnp.float32
+    # Space-to-depth factor per FinalBlock (0 = direct conv). The RGB heads
+    # have 3 output channels — 3/128 MXU lanes — so the top-resolution 7x7
+    # head dominated the profiled train step at 1.1 TF/s until reformulated
+    # on the block grid (docs/PROFILE_r4.md, ops/subpixel_conv.py).
+    final_subpixel: Tuple[int, int, int] = (0, 0, 4)
 
     @nn.compact
     def __call__(self, hidden_states: jnp.ndarray, train: bool = True
@@ -41,6 +46,7 @@ class RenderingNetwork(nn.Module):
                 x = ResidualBlock(out_planes=width, downsample_factor=1, train=train,
                                   dtype=self.dtype, name=f"res{i}")(x)
             frame = FinalBlock(out_planes=3, kernel_size=final_kernels[i],
+                               subpixel_factor=self.final_subpixel[i],
                                dtype=self.dtype, name=f"final{i}")(x)
             outputs.append(frame)
         outputs = list(reversed(outputs))  # high-res first (reference rend.py:70)

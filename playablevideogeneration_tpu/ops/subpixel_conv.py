@@ -1,0 +1,116 @@
+"""Subpixel (space-to-depth) reformulation of few-output-channel convs.
+
+The rendering network ends in a k x k conv producing a 3-channel RGB
+image (reference model/layers/final_block.py:24-29, applied per rendering
+resolution by model/rendering_network.py). On the MXU a conv with 3
+output channels occupies 3 of the systolic array's 128 lanes: the
+round-4 on-chip profile (docs/PROFILE_r4.md) measured the 7x7 32->3 conv
+at 256px running at 1.1 TF/s and 8 GiB/s — neither compute- nor
+HBM-bound — costing 27% of the whole training step across
+forward + remat recompute + backward.
+
+This module computes the *same* convolution as an MXU-friendly one:
+
+    space_to_depth(x, f)                    # (B,H/f,W/f, f²·Cin)
+      -> conv KxK with an expanded kernel   # (B,H/f,W/f, f²·Cout)
+      -> depth_to_space(y, f)               # (B,H,W,Cout)
+
+where the expanded kernel E[K,K, f²·Cin, f²·Cout] scatters each original
+tap W[u,v,c,co] to the block-grid position it lands on. Every output
+element is the exact same dot product as the direct conv (identical taps,
+f32 accumulation on TPU) — only the loop order changes. The expansion is
+sparse (density k²/(K²f²)), so the reformulation performs K²f²/k² times
+the MACs of the direct conv (2.94x for k=7, f=4), but the output now
+fills f²·Cout MXU lanes instead of Cout, a >30x rate improvement that
+dwarfs the FLOP waste.
+
+Derivation: with p=(k-1)//2 (SAME padding) and block factor f, output
+pixel (I·f+oi, J·f+oj) reads input rows I·f+oi+u-p for u in [0,k), which
+fall in block rows I-lo .. I+hi with lo=ceil(p/f), hi=(f-1+p)//f. So a
+K=lo+hi+1 tap block conv covers every original tap:
+
+    E[ki,kj,(di·f+dj)·Cin+c,(oi·f+oj)·Cout+co] = W[u,v,c,co]
+      with u=(ki-lo)·f+di-oi+p  (zero where u outside [0,k)), v likewise.
+
+The (ki,di) <-> u map is a bijection for fixed oi, so each tap appears
+exactly once. Block zero-padding of the s2d conv reproduces the direct
+conv's SAME zero-padding (nonzero E entries only reach p pixels past the
+image edge).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+@functools.lru_cache(maxsize=None)
+def _tap_indices(k: int, f: int):
+    """Static gather map from the direct kernel to the expanded kernel.
+
+    Returns (u_idx[K, f, f], lo, hi) where u_idx[ki, d, o] is the direct
+    kernel row for block-tap ki, input subpixel d, output subpixel o —
+    or the sentinel ``k`` (a zero-padded row) where no tap lands.
+    """
+    p = (k - 1) // 2
+    lo = -(-p // f)
+    hi = (f - 1 + p) // f
+    ki = np.arange(lo + hi + 1)[:, None, None]
+    d = np.arange(f)[None, :, None]
+    o = np.arange(f)[None, None, :]
+    u = (ki - lo) * f + d - o + p
+    return np.where((u >= 0) & (u < k), u, k), lo, hi
+
+
+def expand_kernel(kernel: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Expands an HWIO kernel [k,k,Cin,Cout] to the block-grid kernel
+    [K,K, f²·Cin, f²·Cout] described in the module docstring."""
+    k, k2, cin, cout = kernel.shape
+    if k != k2 or k % 2 != 1:
+        raise ValueError(f"square odd kernel required, got {kernel.shape}")
+    u_idx, _, _ = _tap_indices(k, factor)
+    num_taps = len(u_idx)
+    # Sentinel row/col k indexes the zero padding.
+    padded = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    rows = u_idx[:, None, :, None, :, None]   # ki, kj, di, dj, oi, oj
+    cols = u_idx[None, :, None, :, None, :]
+    e = padded[rows, cols]                    # [K,K,f,f,f,f,Cin,Cout]
+    e = e.transpose(0, 1, 2, 3, 6, 4, 5, 7)   # ki,kj,di,dj,Cin,oi,oj,Cout
+    f = factor
+    return e.reshape(num_taps, num_taps, f * f * cin, f * f * cout)
+
+
+def space_to_depth(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """(B,H,W,C) -> (B,H/f,W/f,f²·C), channel order (di, dj, c)."""
+    b, h, w, c = x.shape
+    f = factor
+    x = x.reshape(b, h // f, f, w // f, f, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // f, w // f, f * f * c)
+
+
+def depth_to_space(y: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """(B,H,W,f²·C) -> (B,H·f,W·f,C), inverse channel order (oi, oj, c)."""
+    b, h, w, fc = y.shape
+    f = factor
+    c = fc // (f * f)
+    y = y.reshape(b, h, w, f, f, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * f, w * f, c)
+
+
+def subpixel_conv(x: jnp.ndarray, kernel: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """SAME-padded stride-1 conv of NHWC ``x`` with HWIO ``kernel``,
+    computed on the f-block grid. Exactly equal (same taps, same f32
+    accumulation) to ``lax.conv_general_dilated(x, kernel, (1,1), 'SAME')``.
+
+    Requires H % factor == W % factor == 0; the caller gates on that.
+    """
+    _, lo, hi = _tap_indices(kernel.shape[0], factor)
+    xs = space_to_depth(x, factor)
+    e = expand_kernel(kernel, factor)
+    ys = lax.conv_general_dilated(
+        xs, e, window_strides=(1, 1), padding=((lo, hi), (lo, hi)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return depth_to_space(ys, factor)

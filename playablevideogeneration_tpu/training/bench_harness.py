@@ -28,7 +28,7 @@ def build_synthetic_trainer(*, height, width, batch_size, observations_count,
                             actions_count=7, observation_stacking=1,
                             hidden_state_size=128, state_features=64,
                             compute_dtype="bfloat16", remat=True,
-                            remat_policy=None,
+                            remat_policy=None, rendering_subpixel=(0, 0, 4),
                             smooth_mi=True, output_root="/tmp/pvg_bench"):
     """Trainer over a synthetic config at the given workload shape.
 
@@ -49,7 +49,8 @@ def build_synthetic_trainer(*, height, width, batch_size, observations_count,
         observation_stacking=observation_stacking,
         hidden_state_size=hidden_state_size, state_features=state_features)
     config["tpu"] = {"compute_dtype": compute_dtype, "remat": remat,
-                     "remat_policy": remat_policy}
+                     "remat_policy": remat_policy,
+                     "rendering_subpixel": tuple(rendering_subpixel)}
     if not smooth_mi:
         config["training"] = dict(config["training"])
         config["training"]["trainer"] = "training.trainer"
@@ -61,7 +62,8 @@ def build_synthetic_trainer(*, height, width, batch_size, observations_count,
                   state_resolution=(height // 8, width // 8),
                   hidden_state_size=hidden_state_size,
                   observation_stacking=observation_stacking,
-                  remat=remat, remat_policy=remat_policy, dtype=dtype)
+                  remat=remat, remat_policy=remat_policy,
+                  rendering_subpixel=tuple(rendering_subpixel), dtype=dtype)
     if smooth_mi:
         from playablevideogeneration_tpu.training.smooth_mi import (
             make_smooth_mi_trainer as factory,

@@ -30,7 +30,8 @@ os.environ.setdefault(
 
 
 def measure(batch: int, remat: bool, steps: int, height: int = 256,
-            width: int = 256, t: int = 12, remat_policy=None) -> dict:
+            width: int = 256, t: int = 12, remat_policy=None,
+            subpixel=(0, 0, 4)) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -43,7 +44,8 @@ def measure(batch: int, remat: bool, steps: int, height: int = 256,
 
     trainer = build_synthetic_trainer(
         height=height, width=width, batch_size=batch, observations_count=t,
-        remat=remat, remat_policy=remat_policy, output_root="/tmp/pvg_tune")
+        remat=remat, remat_policy=remat_policy,
+        rendering_subpixel=subpixel, output_root="/tmp/pvg_tune")
     b = make_synthetic_batch(batch_size=batch, observations_count=t,
                              height=height, width=width)
     trainer.init_state(b)
@@ -63,7 +65,7 @@ def measure(batch: int, remat: bool, steps: int, height: int = 256,
                                      steps=steps)
     assert np.isfinite(loss), "non-finite loss in tuning run"
     out = {"batch": batch, "remat": remat, "remat_policy": remat_policy,
-            "t": t, "px": height,
+            "subpixel": list(subpixel), "t": t, "px": height,
             "compile_s": round(compile_s, 1),
             "step_ms": round(step_s * 1000, 1),
             "frames_per_sec": round(batch * t / step_s, 1),
@@ -85,20 +87,28 @@ def main():
     parser.add_argument("--policies", default="full",
                         help="comma-separated remat policies to sweep "
                              "(full|dots|dots_no_batch), e.g. 'full,dots'")
+    parser.add_argument("--subpixels", default="0-0-4",
+                        help="comma-separated per-FinalBlock space-to-depth "
+                             "factor triples, e.g. '0-0-0,0-0-4,4-4-4'")
     args = parser.parse_args()
     if args.steps < 1:
         raise SystemExit("--steps must be >= 1")
 
+    subpixels = [tuple(int(d) for d in trip.split("-"))
+                 for trip in args.subpixels.split(",") if trip.strip()]
     for batch in [int(x) for x in args.batches.split(",")]:
         for policy in [p.strip() for p in args.policies.split(",") if p.strip()]:
             policy_arg = None if policy == "full" else policy
-            try:
-                out = measure(batch, remat=not args.no_remat,
-                              steps=args.steps, remat_policy=policy_arg)
-            except Exception as e:  # OOM at large batch is a finding
-                out = {"batch": batch, "remat": not args.no_remat,
-                       "remat_policy": policy_arg, "error": str(e)[:200]}
-            print(json.dumps(out), flush=True)
+            for sp in subpixels:
+                try:
+                    out = measure(batch, remat=not args.no_remat,
+                                  steps=args.steps, remat_policy=policy_arg,
+                                  subpixel=sp)
+                except Exception as e:  # OOM at large batch is a finding
+                    out = {"batch": batch, "remat": not args.no_remat,
+                           "remat_policy": policy_arg, "subpixel": list(sp),
+                           "error": str(e)[:200]}
+                print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
