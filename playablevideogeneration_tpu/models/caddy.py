@@ -94,11 +94,22 @@ class Caddy(nn.Module):
     # Space-to-depth factors for the rendering RGB heads (see
     # RenderingNetwork.final_subpixel); same math, MXU-friendly layout.
     rendering_subpixel: Tuple[int, int, int] = (0, 0, 4)
+    # Space-to-depth factor for the encoder stem conv (see
+    # RepresentationNetwork.stem_subpixel); exact same math. Default off:
+    # measured −23 ms/step on the BAIR-class workload (docs/PROFILE_r4.md
+    # "Ablations"); kept as a knob for other shapes.
+    stem_subpixel: int = 0
+    # Fuse the rendering UpBlocks' bilinear x2 + conv into one coarse-grid
+    # conv (exact; ops/fused_upsample_conv.py). Default off: measured
+    # −78 ms/step — the border-correction scatters outweigh the saved
+    # upsample materialization (docs/PROFILE_r4.md "Ablations").
+    fuse_upsample: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         self.representation_network = RepresentationNetwork(
-            state_features=self.state_features, dtype=self.dtype)
+            state_features=self.state_features,
+            stem_subpixel=self.stem_subpixel, dtype=self.dtype)
         # Ensemble of action networks (reference model.py:47 keeps an
         # nn.ModuleList; all shipped configs use size 1).
         self.action_networks = tuple(
@@ -123,7 +134,7 @@ class Caddy(nn.Module):
         )
         self.rendering_network = RenderingNetwork(
             widths=tuple(widths), final_subpixel=self.rendering_subpixel,
-            dtype=self.dtype)
+            fuse_upsample=self.fuse_upsample, dtype=self.dtype)
         # Projects states to hidden states during pretraining
         # (reference model.py:41-43).
         self.state_to_hidden = nn.Conv(
@@ -503,6 +514,8 @@ def _model_from_config(config, rendering_widths=None) -> Caddy:
         remat_policy=config.get("tpu", {}).get("remat_policy"),
         rendering_subpixel=tuple(
             config.get("tpu", {}).get("rendering_subpixel", (0, 0, 4))),
+        stem_subpixel=config.get("tpu", {}).get("stem_subpixel", 0),
+        fuse_upsample=config.get("tpu", {}).get("fuse_upsample", False),
         dtype=dtype,
     )
 

@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from playablevideogeneration_tpu.ops.fused_upsample_conv import fused_upsample2_conv3
 from playablevideogeneration_tpu.ops.subpixel_conv import subpixel_conv
 
 Dtype = Any
@@ -193,30 +194,62 @@ class SameBlock(nn.Module):
 
 class UpBlock(nn.Module):
     """interp x`scale` -> conv -> BN -> lrelu; `late_upscaling` moves the
-    interpolation after the activation (reference up_block.py:30-46)."""
+    interpolation after the activation (reference up_block.py:30-46).
+
+    When the block is a bilinear x2 early-upscale with a 3x3 kernel (the
+    rendering network's hot configuration) and ``fuse_upsample`` is set,
+    the interp+conv pair is computed as one conv on the coarse grid
+    (ops/fused_upsample_conv.py — exact same math, identical FLOPs, no
+    materialized upsampled tensor). The parameter tree is unchanged, so
+    checkpoints are interchangeable between the two paths."""
 
     out_planes: int
     kernel_size: int = 3
     scale_factor: int = 2
     upscaling_mode: str = "nearest"
     late_upscaling: bool = False
+    fuse_upsample: bool = False
     train: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         up = upsample_bilinear if self.upscaling_mode == "bilinear" else upsample_nearest
+        fused = (self.fuse_upsample and not self.late_upscaling
+                 and self.upscaling_mode == "bilinear"
+                 and self.scale_factor == 2 and self.kernel_size == 3)
         out = x
-        if not self.late_upscaling:
-            out = up(out, self.scale_factor)
-        out = nn.Conv(self.out_planes, (self.kernel_size, self.kernel_size),
-                      use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-                      name="conv")(out)
+        if fused:
+            out = _FusedUpConv(features=self.out_planes, dtype=self.dtype,
+                               name="conv")(out)
+        else:
+            if not self.late_upscaling:
+                out = up(out, self.scale_factor)
+            out = nn.Conv(self.out_planes, (self.kernel_size, self.kernel_size),
+                          use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                          name="conv")(out)
         out = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
                         activation="leaky_relu", name="norm")(out)
         if self.late_upscaling:
             out = up(out, self.scale_factor)
         return out
+
+
+class _FusedUpConv(nn.Module):
+    """bilinear x2 upsample + 3x3 SAME conv as one coarse-grid conv, with
+    the identical ``kernel`` parameter as ``nn.Conv(features, (3, 3),
+    use_bias=False)`` (see ops/fused_upsample_conv.py for the exactness
+    argument)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[-1], self.features), jnp.float32)
+        x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+        return fused_upsample2_conv3(x, kernel)
 
 
 class _SubpixelConv(nn.Module):
@@ -233,6 +266,7 @@ class _SubpixelConv(nn.Module):
     features: int
     kernel_size: int
     factor: int
+    use_bias: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -240,6 +274,9 @@ class _SubpixelConv(nn.Module):
         k = self.kernel_size
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (k, k, x.shape[-1], self.features), jnp.float32)
+        if not self.use_bias:
+            x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+            return subpixel_conv(x, kernel, self.factor)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)

@@ -26,6 +26,10 @@ class RenderingNetwork(nn.Module):
     # head dominated the profiled train step at 1.1 TF/s until reformulated
     # on the block grid (docs/PROFILE_r4.md, ops/subpixel_conv.py).
     final_subpixel: Tuple[int, int, int] = (0, 0, 4)
+    # Compute each UpBlock's bilinear-x2 + 3x3 conv as one coarse-grid conv
+    # (exact; ops/fused_upsample_conv.py). Off by default — measured slower
+    # on the BAIR-class workload (docs/PROFILE_r4.md "Ablations").
+    fuse_upsample: bool = False
 
     @nn.compact
     def __call__(self, hidden_states: jnp.ndarray, train: bool = True
@@ -41,6 +45,7 @@ class RenderingNetwork(nn.Module):
         final_kernels = (3, 3, 7)
         for i, width in enumerate(self.widths):
             x = UpBlock(out_planes=width, scale_factor=2, upscaling_mode="bilinear",
+                        fuse_upsample=self.fuse_upsample,
                         train=train, dtype=self.dtype, name=f"up{i}")(x)
             if i < len(self.widths) - 1:
                 x = ResidualBlock(out_planes=width, downsample_factor=1, train=train,

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from playablevideogeneration_tpu.models.layers import (
     BatchNorm,
     ResidualBlock,
+    _SubpixelConv,
     avg_pool,
     leaky_relu,
 )
@@ -23,6 +24,15 @@ from playablevideogeneration_tpu.models.layers import (
 
 class RepresentationNetwork(nn.Module):
     state_features: int = 64
+    # Space-to-depth factor for the stem conv: a 3->16-channel conv at full
+    # resolution fills 3/128 + 16/128 MXU lanes and profiled at 0.9 TF/s /
+    # 37 GiB/s inside the autoregressive scan (docs/PROFILE_r4.md); the
+    # block-grid formulation (ops/subpixel_conv.py, exact same math) gives
+    # f²-wider contraction and output dims in both directions of autodiff.
+    # 0 disables; indivisible resolutions fall back to the direct conv.
+    # Default 0: the on-chip A/B measured the f=4 formulation 23 ms/step
+    # SLOWER on the BAIR-class workload (docs/PROFILE_r4.md "Ablations").
+    stem_subpixel: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -33,8 +43,14 @@ class RepresentationNetwork(nn.Module):
         :return: state (N, H/8, W/8, state_features),
                  attention (N, H/8, W/8, 1) in (0, 1)
         """
-        x = nn.Conv(16, (3, 3), use_bias=False, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv1")(observations)
+        f = self.stem_subpixel
+        if f and observations.shape[1] % f == 0 and observations.shape[2] % f == 0:
+            x = _SubpixelConv(features=16, kernel_size=3, factor=f,
+                              use_bias=False, dtype=self.dtype,
+                              name="conv1")(observations)
+        else:
+            x = nn.Conv(16, (3, 3), use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="conv1")(observations)
         x = avg_pool(x, 2)
         x = BatchNorm(use_running_average=not train, dtype=self.dtype,
                       activation="leaky_relu", name="bn1")(x)

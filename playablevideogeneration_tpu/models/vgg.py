@@ -27,6 +27,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from playablevideogeneration_tpu.ops import subpixel_conv as subpixel
+
 # Convolution channel plan of VGG19 features, with slice boundaries after
 # relu1_1 (layer 0), relu2_1 (2), relu3_1 (4), relu4_1 (8), relu5_1 (12).
 _VGG19_PLAN = [
@@ -44,24 +46,69 @@ _SLICE_AFTER = (0, 2, 4, 8, 12)
 
 
 class Vgg19(nn.Module):
-    """VGG19 up to relu5_1, emitting the reference's 5 feature slices."""
+    """VGG19 up to relu5_1, emitting the reference's 5 feature slices.
+
+    Two training-path MXU optimizations, both forward-identical (default
+    off; the trainer enables them — see ``make_vgg_apply``):
+
+    - ``grad_subpixel``: the first conv's 3-channel input cotangent is the
+      profiled worst VGG op (a [*,*,*,3] backward conv at 185 GB/s,
+      docs/PROFILE_r4.md); ``conv_same_mxu_grad`` computes the identical
+      gradient on the space-to-depth block grid.
+    - ``fast_pool_grad``: replaces XLA's ``select_and_scatter`` max-pool
+      backward with an elementwise tie-splitting subgradient (exact except
+      that exact ties share the mass instead of following selection order;
+      the net is frozen, so this only perturbs the training signal's
+      distribution across tied pixels).
+    """
 
     dtype: Any = jnp.float32
+    grad_subpixel: int = 0
+    fast_pool_grad: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
         outputs = []
         for i, (channels, pool_before) in enumerate(_VGG19_PLAN):
             if pool_before:
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
-            x = nn.Conv(channels, (3, 3), use_bias=True, dtype=self.dtype,
-                        param_dtype=jnp.float32, name=f"conv{i}")(x)
+                if self.fast_pool_grad:
+                    x = subpixel.max_pool_2x2_fast_grad(x)
+                else:
+                    x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            if i == 0 and self.grad_subpixel > 1:
+                x = _MxuGradConv(channels, self.grad_subpixel, self.dtype,
+                                 name=f"conv{i}")(x)
+            else:
+                x = nn.Conv(channels, (3, 3), use_bias=True,
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name=f"conv{i}")(x)
             x = nn.relu(x)
             if i in _SLICE_AFTER:
                 outputs.append(x)
             if i == _SLICE_AFTER[-1]:
                 break
         return outputs
+
+
+class _MxuGradConv(nn.Module):
+    """3x3 SAME conv with the same param tree as ``nn.Conv`` (kernel,
+    bias) whose backward-input runs on the subpixel block grid."""
+
+    features: int
+    grad_factor: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        y = subpixel.conv_same_mxu_grad(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            self.grad_factor)
+        return y + bias.astype(self.dtype)
 
 
 def convert_torch_vgg19(state_dict) -> dict:
@@ -106,9 +153,15 @@ def load_vgg_params(path: str) -> dict:
     return {"params": params}
 
 
-def make_vgg_apply(variables: dict, dtype=jnp.float32):
-    """Returns a closure (N, H, W, 3) -> [5 feature maps] over fixed params."""
-    model = Vgg19(dtype=dtype)
+def make_vgg_apply(variables: dict, dtype=jnp.float32,
+                   grad_subpixel: int = 0, fast_pool_grad: bool = False):
+    """Returns a closure (N, H, W, 3) -> [5 feature maps] over fixed params.
+
+    ``grad_subpixel``/``fast_pool_grad`` select the forward-identical
+    backward-pass optimizations (see ``Vgg19``); the trainer turns them on,
+    inference/metric paths keep the defaults."""
+    model = Vgg19(dtype=dtype, grad_subpixel=grad_subpixel,
+                  fast_pool_grad=fast_pool_grad)
 
     def apply(x):
         return model.apply(variables, x)

@@ -114,3 +114,111 @@ def subpixel_conv(x: jnp.ndarray, kernel: jnp.ndarray, factor: int) -> jnp.ndarr
         xs, e, window_strides=(1, 1), padding=((lo, hi), (lo, hi)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return depth_to_space(ys, factor)
+
+
+# --------------------------------------------------------------------- #
+# Few-INPUT-channel convs: subpixel-formulated input gradient           #
+# --------------------------------------------------------------------- #
+#
+# The transposed problem of the RGB heads: a conv whose INPUT has few
+# channels (VGG19's first 3->64 conv over decoder outputs) has a cheap
+# forward, but its backward-input conv produces a [*,*,*,3] cotangent —
+# the round-4 profile measured that fusion at 185 GB/s / 15 ms per step
+# (3/128 lanes in the output tile). dL/dx of a stride-1 SAME odd-kernel
+# conv is itself a SAME conv of the cotangent with the spatially-flipped,
+# in/out-transposed kernel, so the subpixel reformulation above applies
+# verbatim to the backward pass while the forward stays the plain conv.
+
+
+def _plain_conv_same(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    return lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv_same_mxu_grad(x: jnp.ndarray, kernel: jnp.ndarray,
+                       grad_factor: int) -> jnp.ndarray:
+    """Stride-1 SAME NHWC/HWIO conv; forward identical to
+    ``lax.conv_general_dilated``, backward-input computed on the
+    ``grad_factor`` block grid (exact — same taps, f32 accumulation).
+    Falls back to the plain transposed conv when the spatial dims do not
+    divide ``grad_factor``."""
+    return _plain_conv_same(x, kernel)
+
+
+def _conv_same_mxu_grad_fwd(x, kernel, grad_factor):
+    return _plain_conv_same(x, kernel), (x, kernel)
+
+
+def _conv_same_mxu_grad_bwd(grad_factor, residuals, g):
+    x, kernel = residuals
+    # dL/dkernel: trace the vjp w.r.t. the kernel only, so the plain
+    # backward-input conv is never emitted. (Unused when the caller holds
+    # the kernel frozen — XLA removes it.)
+    _, vjp_k = jax.vjp(lambda k: _plain_conv_same(x, k), kernel)
+    (dk,) = vjp_k(g)
+    # dL/dx = SAME conv of g with the flipped, in/out-transposed kernel.
+    kt = jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2)
+    _, h, w, _ = g.shape
+    if grad_factor > 1 and h % grad_factor == 0 and w % grad_factor == 0:
+        dx = subpixel_conv(g, kt, grad_factor)
+    else:
+        dx = _plain_conv_same(g, kt)
+    return dx.astype(x.dtype), dk
+
+
+conv_same_mxu_grad.defvjp(_conv_same_mxu_grad_fwd, _conv_same_mxu_grad_bwd)
+
+
+# --------------------------------------------------------------------- #
+# 2x2 max pool with an O(n) elementwise backward                        #
+# --------------------------------------------------------------------- #
+#
+# XLA lowers max-pool gradients to ``select_and_scatter``, which the
+# round-4 profile measured at ~6.4 ms/step across the VGG19 levels
+# (operational intensity 0.22, far off the HBM roofline). For the frozen
+# perceptual net the gradient only carries training signal, so the
+# backward can route the cotangent by VALUE EQUALITY — every input equal
+# to its window's max receives g/(#ties) — instead of replaying the
+# pooling selection order. This is an exact subgradient of max-pooling;
+# it differs from torch/XLA only on exact ties (which split the mass
+# rather than following first-element order) and is implemented entirely
+# with reshapes and elementwise ops that fuse to one HBM pass.
+
+
+@jax.custom_vjp
+def max_pool_2x2_fast_grad(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/stride-2 VALID max pool over NHWC, torch-equal forward."""
+    return nn_max_pool_2x2(x)
+
+
+def nn_max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    return lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+        else jnp.iinfo(x.dtype).min,
+        lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
+def _pool_fwd(x):
+    y = nn_max_pool_2x2(x)
+    return y, (x, y)
+
+
+def _pool_bwd(residuals, g):
+    x, y = residuals
+    b, h, w, c = x.shape
+    hh, ww = y.shape[1], y.shape[2]
+    # Trailing odd row/col never enters a VALID window: zero gradient.
+    xe = x[:, : hh * 2, : ww * 2, :]
+    blocks = xe.reshape(b, hh, 2, ww, 2, c)
+    is_max = (blocks == y[:, :, None, :, None, :]).astype(g.dtype)
+    ties = is_max.sum(axis=(2, 4))
+    scaled = (g / ties)[:, :, None, :, None, :]
+    dxe = (is_max * scaled).reshape(b, hh * 2, ww * 2, c)
+    dx = jnp.zeros_like(x).at[:, : hh * 2, : ww * 2, :].set(dxe) \
+        if (h != hh * 2 or w != ww * 2) else dxe
+    return (dx,)
+
+
+max_pool_2x2_fast_grad.defvjp(_pool_fwd, _pool_bwd)

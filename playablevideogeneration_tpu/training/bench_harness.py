@@ -29,7 +29,8 @@ def build_synthetic_trainer(*, height, width, batch_size, observations_count,
                             hidden_state_size=128, state_features=64,
                             compute_dtype="bfloat16", remat=True,
                             remat_policy=None, rendering_subpixel=(0, 0, 4),
-                            smooth_mi=True, output_root="/tmp/pvg_bench"):
+                            smooth_mi=True, output_root="/tmp/pvg_bench",
+                            extra_tpu=None):
     """Trainer over a synthetic config at the given workload shape.
 
     ``smooth_mi=False`` selects the plain-MI trainer (what the reference
@@ -51,6 +52,10 @@ def build_synthetic_trainer(*, height, width, batch_size, observations_count,
     config["tpu"] = {"compute_dtype": compute_dtype, "remat": remat,
                      "remat_policy": remat_policy,
                      "rendering_subpixel": tuple(rendering_subpixel)}
+    # Ablation overrides for the MXU-layout optimizations (stem_subpixel,
+    # fuse_upsample, vgg_grad_subpixel, vgg_fast_pool_grad, ...).
+    extra_tpu = dict(extra_tpu or {})
+    config["tpu"].update(extra_tpu)
     if not smooth_mi:
         config["training"] = dict(config["training"])
         config["training"]["trainer"] = "training.trainer"
@@ -63,7 +68,10 @@ def build_synthetic_trainer(*, height, width, batch_size, observations_count,
                   hidden_state_size=hidden_state_size,
                   observation_stacking=observation_stacking,
                   remat=remat, remat_policy=remat_policy,
-                  rendering_subpixel=tuple(rendering_subpixel), dtype=dtype)
+                  rendering_subpixel=tuple(rendering_subpixel),
+                  stem_subpixel=extra_tpu.get("stem_subpixel", 0),
+                  fuse_upsample=extra_tpu.get("fuse_upsample", False),
+                  dtype=dtype)
     if smooth_mi:
         from playablevideogeneration_tpu.training.smooth_mi import (
             make_smooth_mi_trainer as factory,

@@ -370,9 +370,20 @@ class Trainer:
         model_dtype = self.model.dtype
         smooth_mi = self.smooth_mi
 
+        # Forward-identical VGG backward-pass optimizations (models/vgg.py):
+        # subpixel conv0 input gradient + elementwise max-pool gradient.
+        # Default off: the on-chip A/B measured them a net 28 ms/step SLOWER
+        # on the BAIR-class workload (docs/PROFILE_r4.md "Ablations").
+        tpu_cfg = self.config.get("tpu", {})
+        vgg_grad_subpixel = tpu_cfg.get("vgg_grad_subpixel", 0)
+        vgg_fast_pool_grad = tpu_cfg.get("vgg_fast_pool_grad", False)
+
         def train_step(state: TrainState, observations, actions, gt_init,
                        gumbel_temperature, rng, vgg_variables):
-            vgg_apply = vgg_lib.make_vgg_apply(vgg_variables, dtype=model_dtype)
+            vgg_apply = vgg_lib.make_vgg_apply(
+                vgg_variables, dtype=model_dtype,
+                grad_subpixel=vgg_grad_subpixel,
+                fast_pool_grad=vgg_fast_pool_grad)
 
             def loss_fn(params):
                 variables = {

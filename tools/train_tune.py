@@ -31,7 +31,7 @@ os.environ.setdefault(
 
 def measure(batch: int, remat: bool, steps: int, height: int = 256,
             width: int = 256, t: int = 12, remat_policy=None,
-            subpixel=(0, 0, 4)) -> dict:
+            subpixel=(0, 0, 4), extra_tpu=None) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -45,7 +45,8 @@ def measure(batch: int, remat: bool, steps: int, height: int = 256,
     trainer = build_synthetic_trainer(
         height=height, width=width, batch_size=batch, observations_count=t,
         remat=remat, remat_policy=remat_policy,
-        rendering_subpixel=subpixel, output_root="/tmp/pvg_tune")
+        rendering_subpixel=subpixel, output_root="/tmp/pvg_tune",
+        extra_tpu=extra_tpu)
     b = make_synthetic_batch(batch_size=batch, observations_count=t,
                              height=height, width=width)
     trainer.init_state(b)
@@ -90,12 +91,21 @@ def main():
     parser.add_argument("--subpixels", default="0-0-4",
                         help="comma-separated per-FinalBlock space-to-depth "
                              "factor triples, e.g. '0-0-0,0-0-4,4-4-4'")
+    parser.add_argument("--tpu", default="",
+                        help="extra tpu-config overrides for ablations, "
+                             "e.g. 'fuse_upsample=0,stem_subpixel=0,"
+                             "vgg_grad_subpixel=0,vgg_fast_pool_grad=0'")
     args = parser.parse_args()
     if args.steps < 1:
         raise SystemExit("--steps must be >= 1")
 
     subpixels = [tuple(int(d) for d in trip.split("-"))
                  for trip in args.subpixels.split(",") if trip.strip()]
+    extra_tpu = {}
+    for item in args.tpu.split(","):
+        if item.strip():
+            key, _, val = item.partition("=")
+            extra_tpu[key.strip()] = int(val)
     for batch in [int(x) for x in args.batches.split(",")]:
         for policy in [p.strip() for p in args.policies.split(",") if p.strip()]:
             policy_arg = None if policy == "full" else policy
@@ -103,7 +113,9 @@ def main():
                 try:
                     out = measure(batch, remat=not args.no_remat,
                                   steps=args.steps, remat_policy=policy_arg,
-                                  subpixel=sp)
+                                  subpixel=sp, extra_tpu=extra_tpu)
+                    if extra_tpu:
+                        out["tpu_overrides"] = extra_tpu
                 except Exception as e:  # OOM at large batch is a finding
                     out = {"batch": batch, "remat": not args.no_remat,
                            "remat_policy": policy_arg, "subpixel": list(sp),
