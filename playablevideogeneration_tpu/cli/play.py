@@ -31,6 +31,7 @@ from playablevideogeneration_tpu.inference.play_session import (
     PlaySession,
     frame_to_uint8,
 )
+from playablevideogeneration_tpu.utils.input_helper import InputHelper
 from playablevideogeneration_tpu.utils.logging import Logger
 from playablevideogeneration_tpu.utils.video_saver import VideoSaver
 
@@ -142,13 +143,20 @@ class SessionRecorder:
 
 
 def interactive_loop(session: PlaySession, logger: Logger, output_dir: str,
-                     actions_count: int, observation=None):
-    """Terminal interactive loop (reference play.py:138-201)."""
+                     actions_count: int, observation=None, input_helper=None):
+    """Terminal interactive loop (reference play.py:138-201).
+
+    Keys are read through utils.input_helper.InputHelper (reference
+    utils/input_helper.py:4): single raw keypresses on a tty, line-buffered
+    fallback on pipes/CI.
+    """
     recorder = SessionRecorder(session, observation, logger, output_dir)
+    if input_helper is None:
+        input_helper = InputHelper(interactive=True)
     logger.print(f"Keys: 1..{actions_count} = action, 0 = save & reset, q = quit")
     while True:
-        key = input("action> ").strip()
-        if key == "q":
+        key = input_helper.read_character().strip()
+        if key in ("q", ""):
             break
         if key == "0":
             recorder.save_and_reset()

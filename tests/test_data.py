@@ -337,3 +337,51 @@ def test_synthetic_action_convention_matches_evaluator_labels():
     # Border clamps make some 'left'/'right' actions motionless, but
     # overall consistency stays far above chance.
     assert (motion_label == acts).mean() > 0.8
+
+
+def test_input_helper_line_fallback_and_raw_translation():
+    """InputHelper (reference utils/input_helper.py:4): non-tty streams fall
+    back to line-buffered reads returning one character; EOF yields ''."""
+    import io
+
+    from playablevideogeneration_tpu.utils.input_helper import InputHelper
+
+    helper = InputHelper(interactive=True, stream=io.StringIO("3\nq\n"))
+    assert not helper.interactive  # StringIO is not a tty -> fallback mode
+    assert helper.read_character() == "3"
+    assert helper.read_character() == "q"
+    assert helper.read_character() == ""  # EOF
+
+    # A blank line is a real (newline) keypress, not EOF.
+    helper = InputHelper(interactive=False, stream=io.StringIO("\n7\n"))
+    assert helper.read_character() == "\n"
+    assert helper.read_character() == "7"
+
+
+def test_interactive_loop_drives_session_via_input_helper(tmp_path):
+    """cli.play.interactive_loop reads keys through InputHelper (reference
+    play.py:138-201 key map): digits 1..N step the session with action
+    key-1, invalid keys are ignored, and 'q'/EOF exits the loop."""
+    import io
+
+    import numpy as np
+
+    from playablevideogeneration_tpu.cli.play import interactive_loop
+    from playablevideogeneration_tpu.utils.input_helper import InputHelper
+    from playablevideogeneration_tpu.utils.logging import Logger
+
+    class FakeSession:
+        def __init__(self):
+            self.actions = []
+
+        def generate_next_u8(self, action):
+            self.actions.append(action)
+            return np.zeros((8, 8, 3), dtype=np.uint8)
+
+    session = FakeSession()
+    # keys: action 1, junk (ignored), out-of-range 9 (ignored), action 3,
+    # then EOF terminates without needing an explicit 'q'.
+    helper = InputHelper(stream=io.StringIO("1\nx\n9\n3\n"))
+    interactive_loop(session, Logger(), str(tmp_path), actions_count=3,
+                     input_helper=helper)
+    assert session.actions == [0, 2]

@@ -137,6 +137,7 @@ def test_court_filter_and_tallest_selection():
     assert select_player_center([(5, 5, 50, 20)], w, h) == (-1.0, -1.0)
 
 
+@pytest.mark.slow  # full metric zoo with real backbone graphs: ~27 s
 def test_evaluate_dataset_with_plugged_backbones(tmp_path, monkeypatch):
     """With extractor/embedder/lpips backends plugged in (here: cheap
     deterministic stand-ins with the real interfaces), the pipeline

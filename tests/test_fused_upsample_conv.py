@@ -13,6 +13,10 @@ import numpy as np
 import pytest
 from jax import lax
 
+# The fused-upsample conv ships OFF by default (docs/PROFILE_r4.md:
+# on-chip A/B measured it slower); its parity suite runs in the slow tier.
+pytestmark = pytest.mark.slow
+
 from playablevideogeneration_tpu.models.layers import UpBlock, upsample_bilinear
 from playablevideogeneration_tpu.ops.fused_upsample_conv import (
     fused_upsample2_conv3,

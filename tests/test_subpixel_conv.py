@@ -109,6 +109,7 @@ from playablevideogeneration_tpu.ops.subpixel_conv import (  # noqa: E402
     (30, 30, 3, 8, 4),     # indivisible -> plain transposed-conv fallback
     (16, 16, 5, 7, 2),
 ])
+@pytest.mark.slow  # off-by-default variant (docs/PROFILE_r4.md ablations)
 def test_conv_same_mxu_grad_matches_plain(h, w, cin, cout, f):
     """Forward equal bit-for-bit; input/kernel grads equal to the plain
     conv's up to f32 accumulation order."""
@@ -131,6 +132,7 @@ def test_conv_same_mxu_grad_matches_plain(h, w, cin, cout, f):
 
 
 @pytest.mark.parametrize("h,w", [(8, 8), (9, 7)])
+@pytest.mark.slow  # off-by-default variant (docs/PROFILE_r4.md ablations)
 def test_max_pool_fast_grad_forward_and_untied_grad(h, w):
     """Forward equals nn.max_pool; with all-distinct inputs the gradient
     equals XLA's select_and_scatter gradient exactly (no ties)."""
@@ -151,6 +153,7 @@ def test_max_pool_fast_grad_forward_and_untied_grad(h, w):
     np.testing.assert_array_equal(np.asarray(g_new), np.asarray(g_ref))
 
 
+@pytest.mark.slow  # off-by-default variant (docs/PROFILE_r4.md ablations)
 def test_max_pool_fast_grad_ties_split_mass():
     """Exact ties split the cotangent; total mass per window is conserved
     (a valid subgradient of max)."""
@@ -164,6 +167,7 @@ def test_max_pool_fast_grad_ties_split_mass():
     assert abs(g.sum() - float(np.asarray(ct).sum())) < 1e-6
 
 
+@pytest.mark.slow  # off-by-default variant (docs/PROFILE_r4.md ablations)
 def test_vgg_flags_forward_identical_and_tree_stable():
     """Vgg19 with the backward optimizations on emits bit-identical
     features and the identical parameter tree (converted weights load
@@ -180,6 +184,7 @@ def test_vgg_flags_forward_identical_and_tree_stable():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # off-by-default variant (docs/PROFILE_r4.md ablations)
 def test_representation_stem_subpixel_matches_direct():
     """Encoder stem on the block grid: identical param tree and outputs
     (same conv, different loop order — f32 tolerance only)."""
@@ -203,6 +208,7 @@ def test_representation_stem_subpixel_matches_direct():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # off-by-default variant (docs/PROFILE_r4.md ablations)
 def test_representation_stem_indivisible_falls_back():
     from playablevideogeneration_tpu.models.representation import (
         RepresentationNetwork,
