@@ -94,6 +94,12 @@ class Caddy(nn.Module):
     # Space-to-depth factors for the rendering RGB heads (see
     # RenderingNetwork.final_subpixel); same math, MXU-friendly layout.
     rendering_subpixel: Tuple[int, int, int] = (0, 0, 4)
+    # "strided" (default): one stride-f conv on the fine grid, no layout
+    # passes; "block": explicit space-to-depth grid (ops/subpixel_conv.py).
+    rendering_subpixel_mode: str = "strided"
+    # x2 bilinear upsample implementation for the rendering stages:
+    # "phases" (ops/resize.py) or "xla" (jax.image.resize). Exact either way.
+    resize_impl: str = "phases"
     # Space-to-depth factor for the encoder stem conv (see
     # RepresentationNetwork.stem_subpixel); exact same math. Default off:
     # measured −23 ms/step on the BAIR-class workload (docs/PROFILE_r4.md
@@ -134,7 +140,9 @@ class Caddy(nn.Module):
         )
         self.rendering_network = RenderingNetwork(
             widths=tuple(widths), final_subpixel=self.rendering_subpixel,
-            fuse_upsample=self.fuse_upsample, dtype=self.dtype)
+            final_subpixel_mode=self.rendering_subpixel_mode,
+            fuse_upsample=self.fuse_upsample,
+            bilinear_impl=self.resize_impl, dtype=self.dtype)
         # Projects states to hidden states during pretraining
         # (reference model.py:41-43).
         self.state_to_hidden = nn.Conv(
@@ -514,6 +522,9 @@ def _model_from_config(config, rendering_widths=None) -> Caddy:
         remat_policy=config.get("tpu", {}).get("remat_policy"),
         rendering_subpixel=tuple(
             config.get("tpu", {}).get("rendering_subpixel", (0, 0, 4))),
+        rendering_subpixel_mode=config.get("tpu", {}).get(
+            "rendering_subpixel_mode", "strided"),
+        resize_impl=config.get("tpu", {}).get("resize_impl", "phases"),
         stem_subpixel=config.get("tpu", {}).get("stem_subpixel", 0),
         fuse_upsample=config.get("tpu", {}).get("fuse_upsample", False),
         dtype=dtype,

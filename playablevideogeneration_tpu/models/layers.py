@@ -17,6 +17,7 @@ Differences from the reference by design (TPU-first):
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -24,7 +25,10 @@ import jax
 import jax.numpy as jnp
 
 from playablevideogeneration_tpu.ops.fused_upsample_conv import fused_upsample2_conv3
-from playablevideogeneration_tpu.ops.subpixel_conv import subpixel_conv
+from playablevideogeneration_tpu.ops.subpixel_conv import (
+    strided_subpixel_conv,
+    subpixel_conv,
+)
 
 Dtype = Any
 
@@ -41,12 +45,21 @@ def avg_pool(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     return nn.avg_pool(x, (factor, factor), strides=(factor, factor))
 
 
-def upsample_bilinear(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+def upsample_bilinear(x: jnp.ndarray, scale: int,
+                      impl: str = "phases") -> jnp.ndarray:
     """Bilinear x`scale` upsampling of NHWC tensors.
 
     Matches torch ``F.interpolate(scale_factor=s, mode='bilinear')``
     (align_corners=False) which jax.image.resize('linear') implements.
+    ``impl="phases"`` computes the x2 case as elementwise phase blends +
+    reshape interleaves (ops/resize.py — same weights, no dot_general);
+    any other scale, or ``impl="xla"``, goes through jax.image.resize.
     """
+    if scale == 2 and impl == "phases":
+        from playablevideogeneration_tpu.ops.resize import (
+            upsample_bilinear2_phases,
+        )
+        return upsample_bilinear2_phases(x)
     b, h, w, c = x.shape
     return jax.image.resize(x, (b, h * scale, w * scale, c), method="linear")
 
@@ -209,12 +222,18 @@ class UpBlock(nn.Module):
     upscaling_mode: str = "nearest"
     late_upscaling: bool = False
     fuse_upsample: bool = False
+    # x2 bilinear implementation: "phases" (ops/resize.py, no dot_general)
+    # or "xla" (jax.image.resize). Exact same interpolation either way.
+    bilinear_impl: str = "phases"
     train: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        up = upsample_bilinear if self.upscaling_mode == "bilinear" else upsample_nearest
+        if self.upscaling_mode == "bilinear":
+            up = functools.partial(upsample_bilinear, impl=self.bilinear_impl)
+        else:
+            up = upsample_nearest
         fused = (self.fuse_upsample and not self.late_upscaling
                  and self.upscaling_mode == "bilinear"
                  and self.scale_factor == 2 and self.kernel_size == 3)
@@ -268,19 +287,25 @@ class _SubpixelConv(nn.Module):
     factor: int
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    # "block": space-to-depth grid conv; "strided": one stride-f conv on
+    # the fine grid (no layout passes, (K/k)² vs K²f²/k² MAC inflation —
+    # see ops/subpixel_conv.py). Both are tap-exact vs the direct conv.
+    mode: str = "block"
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (k, k, x.shape[-1], self.features), jnp.float32)
+        conv = (strided_subpixel_conv if self.mode == "strided"
+                else subpixel_conv)
         if not self.use_bias:
             x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
-            return subpixel_conv(x, kernel, self.factor)
+            return conv(x, kernel, self.factor)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
-        return subpixel_conv(x, kernel, self.factor) + bias
+        return conv(x, kernel, self.factor) + bias
 
 
 class FinalBlock(nn.Module):
@@ -294,13 +319,15 @@ class FinalBlock(nn.Module):
     kernel_size: int = 3
     dtype: Dtype = jnp.float32
     subpixel_factor: int = 0
+    subpixel_mode: str = "block"
 
     @nn.compact
     def __call__(self, x):
         f = self.subpixel_factor
         if f and x.shape[1] % f == 0 and x.shape[2] % f == 0:
             x = _SubpixelConv(features=self.out_planes, kernel_size=self.kernel_size,
-                              factor=f, dtype=self.dtype, name="conv")(x)
+                              factor=f, mode=self.subpixel_mode,
+                              dtype=self.dtype, name="conv")(x)
         else:
             x = nn.Conv(self.out_planes, (self.kernel_size, self.kernel_size), use_bias=True,
                         dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)

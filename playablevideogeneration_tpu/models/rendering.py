@@ -26,10 +26,18 @@ class RenderingNetwork(nn.Module):
     # head dominated the profiled train step at 1.1 TF/s until reformulated
     # on the block grid (docs/PROFILE_r4.md, ops/subpixel_conv.py).
     final_subpixel: Tuple[int, int, int] = (0, 0, 4)
+    # "strided" computes the reformulated head as one stride-f conv on the
+    # fine grid (no space-to-depth layout passes, lower MAC inflation);
+    # "block" uses the explicit space-to-depth grid. Tap-exact either way.
+    final_subpixel_mode: str = "strided"
     # Compute each UpBlock's bilinear-x2 + 3x3 conv as one coarse-grid conv
     # (exact; ops/fused_upsample_conv.py). Off by default — measured slower
     # on the BAIR-class workload (docs/PROFILE_r4.md "Ablations").
     fuse_upsample: bool = False
+    # x2 bilinear implementation for the upsample stages: "phases"
+    # (elementwise blends + reshape interleaves, ops/resize.py) or "xla"
+    # (jax.image.resize dot_generals). Identical interpolation weights.
+    bilinear_impl: str = "phases"
 
     @nn.compact
     def __call__(self, hidden_states: jnp.ndarray, train: bool = True
@@ -46,12 +54,14 @@ class RenderingNetwork(nn.Module):
         for i, width in enumerate(self.widths):
             x = UpBlock(out_planes=width, scale_factor=2, upscaling_mode="bilinear",
                         fuse_upsample=self.fuse_upsample,
+                        bilinear_impl=self.bilinear_impl,
                         train=train, dtype=self.dtype, name=f"up{i}")(x)
             if i < len(self.widths) - 1:
                 x = ResidualBlock(out_planes=width, downsample_factor=1, train=train,
                                   dtype=self.dtype, name=f"res{i}")(x)
             frame = FinalBlock(out_planes=3, kernel_size=final_kernels[i],
                                subpixel_factor=self.final_subpixel[i],
+                               subpixel_mode=self.final_subpixel_mode,
                                dtype=self.dtype, name=f"final{i}")(x)
             outputs.append(frame)
         outputs = list(reversed(outputs))  # high-res first (reference rend.py:70)

@@ -117,6 +117,73 @@ def subpixel_conv(x: jnp.ndarray, kernel: jnp.ndarray, factor: int) -> jnp.ndarr
 
 
 # --------------------------------------------------------------------- #
+# Strided formulation: same math, no input space-to-depth               #
+# --------------------------------------------------------------------- #
+#
+# The block-grid form above still pays explicit space_to_depth /
+# depth_to_space layout passes: the round-4 post-subpixel profile
+# (docs/profile_r4_b16_subpixel.json) attributes ~30 ms/step of pure
+# `data formatting` copies to the final2 reshape/transpose pair across
+# forward + remat + backward. A stride-f conv with an enlarged kernel
+# computes the identical result while reading the fine-grid input
+# directly (strides are native to the conv op — no layout pass):
+#
+#   out[I·f+oi, J·f+oj, co] = Σ_{u,v,c} W[u,v,c,co]·x[I·f+oi+u-p, ...]
+#
+# matches a stride-f conv with padding p and kernel K = k+f-1 whose
+# output channel (oi·f+oj)·Cout+co holds tap E[a,b,c,·] = W[a-oi, b-dx]
+# (zero where a-oi is outside [0,k)): substituting a = oi+u gives every
+# original tap exactly once per phase. Output phases land in the same
+# (oi, oj, c) channel order as ``depth_to_space`` expects. MAC count is
+# (K/k)² = 2.04x the direct conv for k=7,f=4 (vs 2.94x for the block
+# grid), with the same f²·Cout MXU output lanes.
+
+
+@functools.lru_cache(maxsize=None)
+def _strided_tap_indices(k: int, f: int):
+    """u_idx[K, f] with u_idx[a, o] = direct-kernel row for enlarged-kernel
+    row a and output subpixel o, or the zero-pad sentinel ``k``."""
+    a = np.arange(k + f - 1)[:, None]
+    o = np.arange(f)[None, :]
+    u = a - o
+    return np.where((u >= 0) & (u < k), u, k)
+
+
+def expand_kernel_strided(kernel: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Expands an HWIO kernel [k,k,Cin,Cout] to the stride-``factor`` kernel
+    [k+f-1, k+f-1, Cin, f²·Cout] described above."""
+    k, k2, cin, cout = kernel.shape
+    if k != k2 or k % 2 != 1:
+        raise ValueError(f"square odd kernel required, got {kernel.shape}")
+    u_idx = _strided_tap_indices(k, factor)
+    padded = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    rows = u_idx[:, None, :, None]            # a, b, oi, oj
+    cols = u_idx[None, :, None, :]
+    e = padded[rows, cols]                    # [K,K,oi,oj,Cin,Cout]
+    e = e.transpose(0, 1, 4, 2, 3, 5)         # K,K,Cin,oi,oj,Cout
+    f = factor
+    big = k + f - 1
+    return e.reshape(big, big, cin, f * f * cout)
+
+
+def strided_subpixel_conv(x: jnp.ndarray, kernel: jnp.ndarray,
+                          factor: int) -> jnp.ndarray:
+    """SAME-padded stride-1 conv of NHWC ``x`` with HWIO ``kernel``,
+    computed as one stride-``factor`` conv on the fine grid. Exactly equal
+    (same taps, f32 accumulation) to
+    ``lax.conv_general_dilated(x, kernel, (1,1), 'SAME')``.
+
+    Requires H % factor == W % factor == 0; the caller gates on that.
+    """
+    p = (kernel.shape[0] - 1) // 2
+    e = expand_kernel_strided(kernel, factor)
+    ys = lax.conv_general_dilated(
+        x, e, window_strides=(factor, factor), padding=((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return depth_to_space(ys, factor)
+
+
+# --------------------------------------------------------------------- #
 # Few-INPUT-channel convs: subpixel-formulated input gradient           #
 # --------------------------------------------------------------------- #
 #

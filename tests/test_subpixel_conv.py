@@ -63,6 +63,67 @@ def test_gradients_match_direct_conv():
                                    rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("k,f,h,w,cin,cout", [
+    (7, 4, 32, 32, 32, 3),    # the final2 shape class
+    (7, 8, 64, 64, 16, 3),
+    (7, 2, 32, 32, 8, 3),
+    (3, 4, 64, 64, 32, 3),
+    (3, 2, 16, 16, 5, 4),
+    (5, 4, 32, 48, 7, 3),     # non-square image
+    (1, 4, 16, 16, 4, 3),
+])
+def test_strided_matches_direct_conv(k, f, h, w, cin, cout):
+    from playablevideogeneration_tpu.ops.subpixel_conv import (
+        strided_subpixel_conv,
+    )
+
+    rng = np.random.RandomState(k * 100 + f + 7)
+    x = jnp.asarray(rng.randn(2, h, w, cin), jnp.float32)
+    kern = jnp.asarray(rng.randn(k, k, cin, cout) * 0.1, jnp.float32)
+    ref = _direct(x, kern)
+    got = strided_subpixel_conv(x, kern, f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_strided_gradients_match_direct_conv():
+    from playablevideogeneration_tpu.ops.subpixel_conv import (
+        strided_subpixel_conv,
+    )
+
+    k, f, h, w, cin, cout = 7, 4, 32, 32, 16, 3
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, h, w, cin), jnp.float32)
+    kern = jnp.asarray(rng.randn(k, k, cin, cout) * 0.1, jnp.float32)
+    ct = jnp.asarray(rng.randn(2, h, w, cout), jnp.float32)
+
+    g_ref = jax.grad(lambda kk, xx: jnp.sum(_direct(xx, kk) * ct),
+                     argnums=(0, 1))(kern, x)
+    g_new = jax.grad(
+        lambda kk, xx: jnp.sum(strided_subpixel_conv(xx, kk, f) * ct),
+        argnums=(0, 1))(kern, x)
+    for a, b in zip(g_ref, g_new):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_final_block_strided_mode_matches_block_mode():
+    """Both reformulations load the same param tree and emit the direct
+    conv's output — checkpoints are interchangeable across all three."""
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 32, 32, 16), jnp.float32)
+    direct = FinalBlock(out_planes=3, kernel_size=7, subpixel_factor=0)
+    strided = FinalBlock(out_planes=3, kernel_size=7, subpixel_factor=4,
+                         subpixel_mode="strided")
+    v = direct.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(
+                strided.init(jax.random.PRNGKey(0), x)))
+    np.testing.assert_allclose(np.asarray(strided.apply(v, x)),
+                               np.asarray(direct.apply(v, x)),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_space_to_depth_roundtrip():
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(3, 16, 24, 5), jnp.float32)

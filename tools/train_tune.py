@@ -105,7 +105,8 @@ def main():
     for item in args.tpu.split(","):
         if item.strip():
             key, _, val = item.partition("=")
-            extra_tpu[key.strip()] = int(val)
+            val = val.strip()
+            extra_tpu[key.strip()] = int(val) if val.lstrip("-").isdigit() else val
     for batch in [int(x) for x in args.batches.split(",")]:
         for policy in [p.strip() for p in args.policies.split(",") if p.strip()]:
             policy_arg = None if policy == "full" else policy
