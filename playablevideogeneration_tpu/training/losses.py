@@ -227,6 +227,7 @@ def perceptual_loss(
     observations: jnp.ndarray,
     reconstructed_observations: jnp.ndarray,
     weight_mask: Optional[jnp.ndarray] = None,
+    batched_gt: bool = False,
 ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """Sum of per-level L1 distances over VGG19 feature maps.
 
@@ -234,6 +235,12 @@ def perceptual_loss(
         (see models/vgg.py)
     :param observations: (B, T, H, W, 3*stacking) ground truth in [-1, 1]
     :param reconstructed_observations: (B, T|T-1, h, w, 3)
+    :param batched_gt: run the gt and reconstruction VGG passes as ONE
+        batch-concatenated invocation (3 invocations/step instead of 6).
+        Mathematically identical (the gt half is sliced back out under
+        stop_gradient); the FLOP tradeoff is measured on-chip — the VGG
+        backward then runs over 2N frames where only N carry nonzero
+        cotangents (tpu.vgg_batched_gt, docs/PROFILE_r4.md discipline).
     :return: (total_loss, per_level_losses) (reference losses.py:494-588)
     """
     gt = observations[..., :3]
@@ -245,8 +252,16 @@ def perceptual_loss(
     if flat_gt.shape[1:3] != (h, w):
         flat_gt = tops.resize_bilinear(flat_gt, h, w)
 
-    gt_features = jax.lax.stop_gradient(vgg_apply(jax.lax.stop_gradient(flat_gt)))
-    rec_features = vgg_apply(flat_rec)
+    if batched_gt:
+        n = flat_rec.shape[0]
+        both = vgg_apply(jnp.concatenate(
+            [jax.lax.stop_gradient(flat_gt), flat_rec], axis=0))
+        gt_features = [jax.lax.stop_gradient(f[:n]) for f in both]
+        rec_features = [f[n:] for f in both]
+    else:
+        gt_features = jax.lax.stop_gradient(
+            vgg_apply(jax.lax.stop_gradient(flat_gt)))
+        rec_features = vgg_apply(flat_rec)
 
     if weight_mask is not None and weight_mask.shape[1] != rec.shape[1]:
         weight_mask = weight_mask[:, 1:]

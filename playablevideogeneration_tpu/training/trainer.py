@@ -49,6 +49,7 @@ def compute_loss_terms(
     motion_weights_bias: float,
     mi_matrix: Optional[jnp.ndarray],
     mi_alpha: Optional[float],
+    vgg_batched_gt: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Forward + all loss terms (reference trainer.py:241-550).
 
@@ -77,7 +78,8 @@ def compute_loss_terms(
     info: Dict[str, Any] = {}
     for r_idx, recon in enumerate(resolutions):
         p_total, p_levels = losses.perceptual_loss(
-            vgg_apply, observations, recon, weight_mask)
+            vgg_apply, observations, recon, weight_mask,
+            batched_gt=vgg_batched_gt)
         o_loss = losses.observations_loss(observations, recon, weight_mask)
         perceptual_total = perceptual_total + p_total
         obs_rec_total = obs_rec_total + o_loss
@@ -277,12 +279,22 @@ class Trainer:
             step=jnp.zeros((), jnp.int32),
         )
 
-    def init_state(self, sample_batch) -> TrainState:
-        rng, self._rng = jax.random.split(self._rng)
-        state = self._build_state(rng,
-                                  jnp.asarray(sample_batch.observations),
-                                  jnp.asarray(sample_batch.actions))
-        self.state = mesh_lib.place_state(self.mesh, state,
+    def init_state(self, sample_batch,
+                   host_state: Optional[TrainState] = None) -> TrainState:
+        """Builds and places the initial TrainState.
+
+        ``host_state`` reuses pre-built state VALUES (host or device
+        arrays) and only re-places them onto this trainer's mesh — the
+        multichip dryrun shares one init across its three mesh legs this
+        way (init is deterministic in the config seed, so the legs would
+        build identical values anyway; sharing skips two rebuilds).
+        """
+        if host_state is None:
+            rng, self._rng = jax.random.split(self._rng)
+            host_state = self._build_state(
+                rng, jnp.asarray(sample_batch.observations),
+                jnp.asarray(sample_batch.actions))
+        self.state = mesh_lib.place_state(self.mesh, host_state,
                                           min_channels=self._tp_min_channels)
         return self.state
 
@@ -377,6 +389,9 @@ class Trainer:
         tpu_cfg = self.config.get("tpu", {})
         vgg_grad_subpixel = tpu_cfg.get("vgg_grad_subpixel", 0)
         vgg_fast_pool_grad = tpu_cfg.get("vgg_fast_pool_grad", False)
+        # One batch-concatenated gt+rec VGG pass per resolution instead of
+        # two separate ones (losses.perceptual_loss batched_gt).
+        vgg_batched_gt = tpu_cfg.get("vgg_batched_gt", False)
 
         def train_step(state: TrainState, observations, actions, gt_init,
                        gumbel_temperature, rng, vgg_variables):
@@ -395,7 +410,8 @@ class Trainer:
                     model, variables, observations, actions, gt_init,
                     gumbel_temperature, rng, vgg_apply, loss_weights, mi_lambda,
                     pretraining, use_motion, motion_bias,
-                    state.mi_matrix if smooth_mi else None, mi_alpha)
+                    state.mi_matrix if smooth_mi else None, mi_alpha,
+                    vgg_batched_gt=vgg_batched_gt)
                 return total, aux
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -10,12 +10,17 @@ down by virtual devices.
 """
 import os
 
-# Persistent compilation cache: repeated test runs skip XLA recompilation.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compilation_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-
 import jax  # noqa: E402
+
+# Persistent compilation cache: repeated test runs skip XLA recompilation.
+# Set through jax.config, NOT env vars: axon's sitecustomize imports jax
+# at interpreter startup, so env-var defaults are captured before conftest
+# runs (an os.environ.setdefault here silently does nothing).
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_compilation_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 if os.environ.get("PVG_TEST_PLATFORM", "cpu") == "cpu":
     # jax.config wins over environment-forced platform plugins (some hosts
