@@ -52,14 +52,20 @@ def upsample_bilinear(x: jnp.ndarray, scale: int,
     Matches torch ``F.interpolate(scale_factor=s, mode='bilinear')``
     (align_corners=False) which jax.image.resize('linear') implements.
     ``impl="phases"`` computes the x2 case as elementwise phase blends +
-    reshape interleaves (ops/resize.py — same weights, no dot_general);
-    any other scale, or ``impl="xla"``, goes through jax.image.resize.
+    reshape interleaves; ``impl="deconv"`` as one depthwise input-dilated
+    conv (both in ops/resize.py — same weights, no dot_general); any
+    other scale, or ``impl="xla"``, goes through jax.image.resize.
     """
-    if scale == 2 and impl == "phases":
+    if impl not in ("phases", "deconv", "xla"):
+        raise ValueError(
+            f"resize_impl must be 'phases', 'deconv' or 'xla', got {impl!r}")
+    if scale == 2 and impl in ("phases", "deconv"):
         from playablevideogeneration_tpu.ops.resize import (
+            upsample_bilinear2_deconv,
             upsample_bilinear2_phases,
         )
-        return upsample_bilinear2_phases(x)
+        return (upsample_bilinear2_phases(x) if impl == "phases"
+                else upsample_bilinear2_deconv(x))
     b, h, w, c = x.shape
     return jax.image.resize(x, (b, h * scale, w * scale, c), method="linear")
 
@@ -294,6 +300,9 @@ class _SubpixelConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.mode not in ("strided", "block"):
+            raise ValueError(
+                f"subpixel mode must be 'strided' or 'block', got {self.mode!r}")
         k = self.kernel_size
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (k, k, x.shape[-1], self.features), jnp.float32)

@@ -57,11 +57,57 @@ def _blend2(x: jnp.ndarray, axis: int):
 
 def upsample_bilinear2_phases(x: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, C) -> (B, 2H, 2W, C), equal to
-    ``jax.image.resize(x, (B, 2H, 2W, C), method='linear')``."""
+    ``jax.image.resize(x, (B, 2H, 2W, C), method='linear')``.
+
+    Sub-f32 inputs blend internally in float32 with ONE downcast at the
+    end: per-phase bf16 rounding after each axis diverged from
+    jax.image.resize's f32 dot_general accumulation by up to ~0.016 on
+    ~40% of elements (round-4 advisor finding).  The f32 intermediate
+    matches resize-in-f32-then-cast bit-exactly, and the on-chip A/B
+    (docs/PROFILE_r4.md ablations table, round 5 row) measured the upcast
+    free — the op stays bandwidth-bound on the same copies.
+    """
+    dtype = x.dtype
+    if jnp.finfo(dtype).bits < 32:
+        x = x.astype(jnp.float32)
     b, h, w, c = x.shape
     # Rows: stack the two phases next to H, then merge (layout-compatible).
     ev, od = _blend2(x, axis=1)
     y = jnp.stack([ev, od], axis=2).reshape(b, 2 * h, w, c)
     # Columns: phase-major channel concat + reshape is the interleave.
     ev, od = _blend2(y, axis=2)
-    return jnp.concatenate([ev, od], axis=-1).reshape(b, 2 * h, 2 * w, c)
+    return jnp.concatenate([ev, od], axis=-1).reshape(b, 2 * h, 2 * w, c).astype(dtype)
+
+
+def upsample_bilinear2_deconv(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, 2H, 2W, C) x2 bilinear as ONE depthwise
+    input-dilated convolution (the transposed-conv formulation).
+
+    Same taps as :func:`upsample_bilinear2_phases` (0.75/0.25 separable,
+    edge-clamped via a 1-px replicate pre-pad), but the interleave happens
+    INSIDE the conv op instead of as stack/concat+reshape — the round-5
+    profile (docs/profile_r5_b16.json) attributes ~60 ms/step of
+    `data formatting` copies to the phase path's interleaves at 256²,
+    which XLA must materialize as physical tile-layout copies.
+
+    Derivation: with the input edge-padded by 1 and lhs_dilation=2, the
+    correlation with the separable kernel [0.25, 0.75, 0.75, 0.25] under
+    padding (1, 1) yields out[2i+1] = 0.25 x[i-1] + 0.75 x[i] and
+    out[2i+2] = 0.75 x[i] + 0.25 x[i+1]; cropping [1 : 2H+1] aligns this
+    exactly with jax.image.resize's half-pixel grid (tests/test_resize.py
+    pins both impls).  Blends run in f32 (bf16 inputs are upcast once and
+    downcast once, as the phases impl does).
+    """
+    dtype = x.dtype
+    if jnp.finfo(dtype).bits < 32:
+        x = x.astype(jnp.float32)
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    k1 = jnp.asarray([0.25, 0.75, 0.75, 0.25], x.dtype)
+    k = (k1[:, None] * k1[None, :])[:, :, None, None]
+    k = jnp.broadcast_to(k, (4, 4, 1, 1)) * jnp.ones((1, 1, 1, c), x.dtype)
+    y = lax.conv_general_dilated(
+        xp, k, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        lhs_dilation=(2, 2), feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y[:, 1:2 * h + 1, 1:2 * w + 1, :].astype(dtype)

@@ -161,3 +161,27 @@ def test_sequence_loss_right_aligned():
     assert float(terms[0]) == 0.0
     assert np.allclose(np.asarray(terms[1:]), 1.0)
     assert np.isclose(float(avg), 1.0)
+
+
+def test_perceptual_loss_batched_gt_is_equivalent():
+    """`batched_gt=True` (one concat VGG invocation) must equal the
+    two-invocation path in BOTH value and gradient — it is a pure
+    execution-layout choice (tpu.vgg_batched_gt)."""
+    from playablevideogeneration_tpu.models import vgg as vgg_lib
+
+    rng = np.random.RandomState(11)
+    obs = jnp.asarray(rng.randn(2, 4, 32, 32, 3), jnp.float32)
+    rec = jnp.asarray(rng.randn(2, 3, 32, 32, 3), jnp.float32)
+    vgg_apply = vgg_lib.make_vgg_apply(
+        vgg_lib.random_vgg_variables(jax.random.PRNGKey(5)))
+
+    def total(r, batched):
+        return losses.perceptual_loss(vgg_apply, obs, r,
+                                      batched_gt=batched)[0]
+
+    v0, g0 = jax.value_and_grad(total)(rec, False)
+    v1, g1 = jax.value_and_grad(total)(rec, True)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-6)

@@ -106,7 +106,13 @@ def main():
         if item.strip():
             key, _, val = item.partition("=")
             val = val.strip()
-            extra_tpu[key.strip()] = int(val) if val.lstrip("-").isdigit() else val
+            if val.lower() in ("true", "false"):  # 'false' must not stay a
+                parsed = val.lower() == "true"    # truthy non-empty string
+            elif val.lstrip("-").isdigit():
+                parsed = int(val)
+            else:
+                parsed = val
+            extra_tpu[key.strip()] = parsed
     for batch in [int(x) for x in args.batches.split(",")]:
         for policy in [p.strip() for p in args.policies.split(",") if p.strip()]:
             policy_arg = None if policy == "full" else policy
