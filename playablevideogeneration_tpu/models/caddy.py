@@ -98,8 +98,11 @@ class Caddy(nn.Module):
     # passes; "block": explicit space-to-depth grid (ops/subpixel_conv.py).
     rendering_subpixel_mode: str = "strided"
     # x2 bilinear upsample implementation for the rendering stages:
-    # "phases" (ops/resize.py) or "xla" (jax.image.resize). Exact either way.
-    resize_impl: str = "phases"
+    # "deconv" (one depthwise input-dilated conv, ops/resize.py — the
+    # measured fastest: 726 ms/step vs 989 phases-f32 at BAIR batch 16,
+    # docs/PROFILE_r5.md), "phases" (blends + reshape interleaves), or
+    # "xla" (jax.image.resize). Exact either way.
+    resize_impl: str = "deconv"
     # Space-to-depth factor for the encoder stem conv (see
     # RepresentationNetwork.stem_subpixel); exact same math. Default off:
     # measured −23 ms/step on the BAIR-class workload (docs/PROFILE_r4.md
@@ -533,7 +536,7 @@ def _model_from_config(config, rendering_widths=None) -> Caddy:
             config.get("tpu", {}).get("rendering_subpixel", (0, 0, 4))),
         rendering_subpixel_mode=config.get("tpu", {}).get(
             "rendering_subpixel_mode", "strided"),
-        resize_impl=config.get("tpu", {}).get("resize_impl", "phases"),
+        resize_impl=config.get("tpu", {}).get("resize_impl", "deconv"),
         stem_subpixel=config.get("tpu", {}).get("stem_subpixel", 0),
         fuse_upsample=config.get("tpu", {}).get("fuse_upsample", False),
         dtype=dtype,

@@ -46,7 +46,7 @@ def avg_pool(x: jnp.ndarray, factor: int) -> jnp.ndarray:
 
 
 def upsample_bilinear(x: jnp.ndarray, scale: int,
-                      impl: str = "phases") -> jnp.ndarray:
+                      impl: str = "deconv") -> jnp.ndarray:
     """Bilinear x`scale` upsampling of NHWC tensors.
 
     Matches torch ``F.interpolate(scale_factor=s, mode='bilinear')``
@@ -230,7 +230,7 @@ class UpBlock(nn.Module):
     fuse_upsample: bool = False
     # x2 bilinear implementation: "phases" (ops/resize.py, no dot_general)
     # or "xla" (jax.image.resize). Exact same interpolation either way.
-    bilinear_impl: str = "phases"
+    bilinear_impl: str = "deconv"
     train: bool = True
     dtype: Dtype = jnp.float32
 

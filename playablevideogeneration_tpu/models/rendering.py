@@ -37,7 +37,7 @@ class RenderingNetwork(nn.Module):
     # x2 bilinear implementation for the upsample stages: "phases"
     # (elementwise blends + reshape interleaves, ops/resize.py) or "xla"
     # (jax.image.resize dot_generals). Identical interpolation weights.
-    bilinear_impl: str = "phases"
+    bilinear_impl: str = "deconv"
 
     @nn.compact
     def __call__(self, hidden_states: jnp.ndarray, train: bool = True

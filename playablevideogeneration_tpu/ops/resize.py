@@ -31,6 +31,7 @@ Equality with jax.image.resize is pinned by tests/test_resize.py.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -63,9 +64,9 @@ def upsample_bilinear2_phases(x: jnp.ndarray) -> jnp.ndarray:
     end: per-phase bf16 rounding after each axis diverged from
     jax.image.resize's f32 dot_general accumulation by up to ~0.016 on
     ~40% of elements (round-4 advisor finding).  The f32 intermediate
-    matches resize-in-f32-then-cast bit-exactly, and the on-chip A/B
-    (docs/PROFILE_r4.md ablations table, round 5 row) measured the upcast
-    free — the op stays bandwidth-bound on the same copies.
+    matches resize-in-f32-then-cast bit-exactly; the op stays
+    bandwidth-bound on the interleave copies either way (the round-5
+    A/B table in docs/PROFILE_r5.md times this exact configuration).
     """
     dtype = x.dtype
     if jnp.finfo(dtype).bits < 32:
@@ -95,19 +96,82 @@ def upsample_bilinear2_deconv(x: jnp.ndarray) -> jnp.ndarray:
     padding (1, 1) yields out[2i+1] = 0.25 x[i-1] + 0.75 x[i] and
     out[2i+2] = 0.75 x[i] + 0.25 x[i+1]; cropping [1 : 2H+1] aligns this
     exactly with jax.image.resize's half-pixel grid (tests/test_resize.py
-    pins both impls).  Blends run in f32 (bf16 inputs are upcast once and
-    downcast once, as the phases impl does).
+    pins both impls).
+
+    Numerics: inputs stay in their own dtype (bf16 moves HALF the HBM
+    bytes of an f32 upcast — the phases impl's f32-blend correctness fix
+    cost a measured 772→989 ms/step at the BAIR batch-16 workload,
+    docs/PROFILE_r5.md); every 2D tap product (0.5625/0.1875/0.0625) is
+    EXACT in bf16, and accumulation runs in f32 via
+    ``preferred_element_type`` with one final downcast — i.e. exactly the
+    resize-in-f32-then-cast semantics, in one pass instead of two.
     """
+    return _deconv2(x)
+
+
+def _bilinear_kernel(c, dtype):
+    """Separable 4x4 depthwise kernel; every tap (0.5625/0.1875/0.0625)
+    is exactly representable in bf16, so casting is lossless."""
+    k1 = jnp.asarray([0.25, 0.75, 0.75, 0.25], jnp.float32)
+    k = (k1[:, None] * k1[None, :])[:, :, None, None]
+    return (jnp.broadcast_to(k, (4, 4, 1, 1))
+            * jnp.ones((1, 1, 1, c), jnp.float32)).astype(dtype)
+
+
+@jax.custom_vjp
+def _deconv2(x):
     dtype = x.dtype
-    if jnp.finfo(dtype).bits < 32:
-        x = x.astype(jnp.float32)
     b, h, w, c = x.shape
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    k1 = jnp.asarray([0.25, 0.75, 0.75, 0.25], x.dtype)
-    k = (k1[:, None] * k1[None, :])[:, :, None, None]
-    k = jnp.broadcast_to(k, (4, 4, 1, 1)) * jnp.ones((1, 1, 1, c), x.dtype)
     y = lax.conv_general_dilated(
-        xp, k, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
-        lhs_dilation=(2, 2), feature_group_count=c,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        xp, _bilinear_kernel(c, dtype), window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)], lhs_dilation=(2, 2),
+        feature_group_count=c, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
     return y[:, 1:2 * h + 1, 1:2 * w + 1, :].astype(dtype)
+
+
+def _deconv2_fwd(x):
+    return _deconv2(x), None
+
+
+def _deconv2_bwd(_res, ct):
+    """Adjoint of crop∘conv_dilated∘edge_pad, term by term:
+
+    - cropᵀ: zero-pad the cotangent back to the conv's output extent
+      ([1 : 2H+1] came from length 2H+2);
+    - conv_dilatedᵀ: a stride-2 correlation with the SAME (symmetric)
+      kernel under padding (k-1-p) = (2, 2);
+    - edge_padᵀ: fold the two border rows/cols back into their clamped
+      sources (x[0] / x[H-1]).
+
+    The custom rule exists because lax's mechanical transpose would feed
+    the f32 accumulator cotangent into a conv against the input-dtype
+    kernel (a dtype-mismatch error), and a hand adjoint keeps the
+    backward in input dtype — the same HBM-bandwidth win as the forward.
+    tests/test_resize.py checks it against the jax.image.resize VJP.
+    """
+    dtype = ct.dtype  # the output dtype IS the input dtype
+    h, w, c = ct.shape[1] // 2, ct.shape[2] // 2, ct.shape[3]
+    ct = jnp.pad(ct, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    g = lax.conv_general_dilated(
+        ct, _bilinear_kernel(c, dtype), window_strides=(2, 2),
+        padding=[(2, 2), (2, 2)], feature_group_count=c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    # g has extent (H+2, W+2): the padded input's grid. Fold borders.
+    def fold(t, n, axis):
+        if n == 1:  # every padded row folds into the single source row
+            return jnp.sum(t, axis=axis, keepdims=True)
+        first = lax.slice_in_dim(t, 0, 1, axis=axis) \
+            + lax.slice_in_dim(t, 1, 2, axis=axis)
+        last = lax.slice_in_dim(t, n, n + 1, axis=axis) \
+            + lax.slice_in_dim(t, n + 1, n + 2, axis=axis)
+        return jnp.concatenate(
+            [first, lax.slice_in_dim(t, 2, n, axis=axis), last], axis=axis)
+
+    g = fold(fold(g, h, axis=1), w, axis=2)
+    return (g.astype(dtype),)
+
+
+_deconv2.defvjp(_deconv2_fwd, _deconv2_bwd)

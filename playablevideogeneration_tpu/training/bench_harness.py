@@ -71,7 +71,7 @@ def build_synthetic_trainer(*, height, width, batch_size, observations_count,
                   rendering_subpixel=tuple(rendering_subpixel),
                   rendering_subpixel_mode=extra_tpu.get(
                       "rendering_subpixel_mode", "strided"),
-                  resize_impl=extra_tpu.get("resize_impl", "phases"),
+                  resize_impl=extra_tpu.get("resize_impl", "deconv"),
                   stem_subpixel=extra_tpu.get("stem_subpixel", 0),
                   fuse_upsample=extra_tpu.get("fuse_upsample", False),
                   dtype=dtype)

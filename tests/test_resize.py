@@ -59,10 +59,15 @@ def test_deconv_matches_jax_image_resize(b, h, w, c):
                                rtol=1e-5, atol=1e-6)
 
 
-def test_deconv_gradient_matches_xla_path():
+@pytest.mark.parametrize("b,h,w,c", [
+    (2, 8, 8, 4),
+    (3, 2, 2, 5),   # n=2: the border folds meet
+    (1, 1, 7, 2),   # n=1: every padded row folds into one source row
+])
+def test_deconv_gradient_matches_xla_path(b, h, w, c):
     rng = np.random.RandomState(3)
-    x = jnp.asarray(rng.randn(2, 8, 8, 4), jnp.float32)
-    ct = jnp.asarray(rng.randn(2, 16, 16, 4), jnp.float32)
+    x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+    ct = jnp.asarray(rng.randn(b, 2 * h, 2 * w, c), jnp.float32)
     g_ref = jax.grad(lambda t: jnp.sum(
         upsample_bilinear(t, 2, impl="xla") * ct))(x)
     g_new = jax.grad(lambda t: jnp.sum(
