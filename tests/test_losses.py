@@ -172,15 +172,21 @@ def test_perceptual_loss_batched_gt_is_equivalent():
     rng = np.random.RandomState(11)
     obs = jnp.asarray(rng.randn(2, 4, 32, 32, 3), jnp.float32)
     rec = jnp.asarray(rng.randn(2, 3, 32, 32, 3), jnp.float32)
-    vgg_apply = vgg_lib.make_vgg_apply(
-        vgg_lib.random_vgg_variables(jax.random.PRNGKey(5)))
+    vgg_variables = vgg_lib.random_vgg_variables(jax.random.PRNGKey(5))
 
-    def total(r, batched):
-        return losses.perceptual_loss(vgg_apply, obs, r,
-                                      batched_gt=batched)[0]
+    import functools
 
-    v0, g0 = jax.value_and_grad(total)(rec, False)
-    v1, g1 = jax.value_and_grad(total)(rec, True)
+    # VGG params ride as an ARGUMENT: closure-capturing them would inline
+    # them as MLIR constants (slow lowering, uncacheable program).
+    @functools.partial(jax.jit, static_argnums=2)
+    def vg(vgg_vars, r, batched):
+        vgg_apply = vgg_lib.make_vgg_apply(vgg_vars)
+        return jax.value_and_grad(
+            lambda r_: losses.perceptual_loss(vgg_apply, obs, r_,
+                                              batched_gt=batched)[0])(r)
+
+    v0, g0 = vg(vgg_variables, rec, False)
+    v1, g1 = vg(vgg_variables, rec, True)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),

@@ -20,10 +20,13 @@ def _random_batch(seed=0):
 
 def test_full_forward_shapes(tiny_model, tiny_variables):
     obs, acts = _random_batch()
-    out, _ = tiny_model.apply(
-        tiny_variables, obs, acts, 2, train=True, gumbel_temperature=0.9,
+    # jit (here and below): eager Flax apply pays per-op dispatch on this
+    # 1-core host (~30 s/test); one jitted program hits the persistent
+    # compile cache across runs.  Values are identical.
+    out, _ = jax.jit(lambda v, o, a: tiny_model.apply(
+        v, o, a, 2, train=True, gumbel_temperature=0.9,
         mutable=["batch_stats", "model_state"],
-        rngs={"sample": jax.random.PRNGKey(2)})
+        rngs={"sample": jax.random.PRNGKey(2)}))(tiny_variables, obs, acts)
     assert out.reconstructed_observations.shape == (B, T - 1, H, W, 3)
     assert [r.shape for r in out.multiresolution_reconstructed_observations] == [
         (B, T - 1, H, W, 3), (B, T - 1, H // 2, W // 2, 3), (B, T - 1, H // 4, W // 4, 3)]
@@ -46,9 +49,9 @@ def test_teacher_forcing_reuses_gt_states(tiny_model, tiny_variables):
     """With gt_init = k, reconstructed_states[:, :k] must be exactly the
     ground-truth states (reference model.py:241-243 semantics)."""
     obs, acts = _random_batch(1)
-    out = tiny_model.apply(
-        tiny_variables, obs, acts, 3, train=False, gumbel_temperature=0.4,
-        rngs={"sample": jax.random.PRNGKey(5)})
+    out = jax.jit(lambda v, o, a: tiny_model.apply(
+        v, o, a, 3, train=False, gumbel_temperature=0.4,
+        rngs={"sample": jax.random.PRNGKey(5)}))(tiny_variables, obs, acts)
     np.testing.assert_allclose(np.asarray(out.reconstructed_states[:, :3]),
                                np.asarray(out.states[:, :3]), rtol=1e-6)
     # Beyond gt_init the states come from re-encoding generated frames and
@@ -78,10 +81,10 @@ def test_gt_init_is_dynamic_no_retrace(tiny_model, tiny_variables):
 
 def test_pretraining_shapes(tiny_model, tiny_variables):
     obs, acts = _random_batch(3)
-    out, _ = tiny_model.apply(
-        tiny_variables, obs, acts, 1, pretraining=True, train=True,
+    out, _ = jax.jit(lambda v, o, a: tiny_model.apply(
+        v, o, a, 1, pretraining=True, train=True,
         gumbel_temperature=1.0, mutable=["batch_stats", "model_state"],
-        rngs={"sample": jax.random.PRNGKey(7)})
+        rngs={"sample": jax.random.PRNGKey(7)}))(tiny_variables, obs, acts)
     assert out.reconstructed_observations.shape == (B, T, H, W, 3)
     assert out.reconstructed_hidden_states.shape == (B, T, 4, 4, 8)
     assert out.hidden_states.shape == (B, T - 1, 4, 4, 8)
@@ -113,19 +116,20 @@ def test_action_sampler_plumbing(tiny_model, tiny_variables):
         make_ground_truth_action_sampler, one_hot_action_sampler)
 
     obs, acts = _random_batch(4)
-    out = tiny_model.apply(
-        tiny_variables, obs, acts, 1, train=False, gumbel_temperature=0.4,
+    out = jax.jit(lambda v, o, a: tiny_model.apply(
+        v, o, a, 1, train=False, gumbel_temperature=0.4,
         action_sampler=one_hot_action_sampler,
-        rngs={"sample": jax.random.PRNGKey(11)})
+        rngs={"sample": jax.random.PRNGKey(11)}))(tiny_variables, obs, acts)
     samples = np.asarray(out.action_samples)
     assert np.allclose(samples.sum(-1), 1.0)
     assert np.allclose(np.sort(samples, axis=-1)[..., :-1], 0.0)
 
     mapping = {0: 2, 1: 0, 2: 1}
     sampler = make_ground_truth_action_sampler(mapping)
-    out2 = tiny_model.apply(
-        tiny_variables, obs, acts, 1, train=False, gumbel_temperature=0.4,
-        action_sampler=sampler, rngs={"sample": jax.random.PRNGKey(12)})
+    out2 = jax.jit(lambda v, o, a: tiny_model.apply(
+        v, o, a, 1, train=False, gumbel_temperature=0.4,
+        action_sampler=sampler,
+        rngs={"sample": jax.random.PRNGKey(12)}))(tiny_variables, obs, acts)
     sel = np.asarray(out2.selected_actions)
     expected = np.vectorize(mapping.get)(np.asarray(acts[:, :-1]))
     np.testing.assert_array_equal(sel, expected)
@@ -136,10 +140,10 @@ def test_zero_variation_sampler(tiny_model, tiny_variables):
         zero_action_variation_sampler)
 
     obs, acts = _random_batch(5)
-    out = tiny_model.apply(
-        tiny_variables, obs, acts, 1, train=False, gumbel_temperature=0.4,
+    out = jax.jit(lambda v, o, a: tiny_model.apply(
+        v, o, a, 1, train=False, gumbel_temperature=0.4,
         variation_sampler=zero_action_variation_sampler,
-        rngs={"sample": jax.random.PRNGKey(13)})
+        rngs={"sample": jax.random.PRNGKey(13)}))(tiny_variables, obs, acts)
     assert np.allclose(np.asarray(out.action_variations), 0.0)
 
 
@@ -147,9 +151,11 @@ def test_play_step_matches_window_semantics(tiny_model, tiny_variables):
     obs, _ = _random_batch(6)
     carry = tiny_model.apply(tiny_variables, 1, method="init_play")
     window = obs[:1, 0]
-    carry, frame, next_obs = tiny_model.apply(
+    carry, frame, next_obs = jax.jit(
+        lambda v, c, w, a, var: tiny_model.apply(v, c, w, a, var,
+                                                 method="play_step"))(
         tiny_variables, carry, window, jnp.asarray([[1.0, 0.0, 0.0]]),
-        jnp.zeros((1, 2)), method="play_step")
+        jnp.zeros((1, 2)))
     # Window slides: newest frame first, oldest 3 channels dropped.
     np.testing.assert_array_equal(np.asarray(next_obs[..., :3]), np.asarray(frame))
     np.testing.assert_array_equal(np.asarray(next_obs[..., 3:]),

@@ -361,3 +361,121 @@ def test_weights_resolution_order(tmp_path, monkeypatch):
     assert bundle["lpips_fn"] is None
     assert bundle["fid_extractor"] is None
     assert bundle["fvd_embedder"] is None
+
+
+# --------------------------------------------------------------------- #
+# The documented converter CLI, end to end for every backbone           #
+# --------------------------------------------------------------------- #
+
+
+def _run_converter_cli(backbone, in_path, out_path):
+    """Invokes tools/convert_weights.py main() exactly as the runbook
+    documents (docs/PRETRAINED_WEIGHTS.md step 2), argparse included."""
+    import importlib.util
+    import sys
+    from unittest import mock
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_weights",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "tools", "convert_weights.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+    argv = ["convert_weights.py", backbone,
+            "--input", in_path, "--output", out_path]
+    with mock.patch.object(sys, "argv", argv):
+        tool.main()
+
+
+def test_converter_cli_smokes_every_documented_backbone(tmp_path):
+    """One smoke per runbook command: random reference-layout inputs ->
+    CLI -> output .npz loads through utils.pretrained.  Guards the
+    offline operator's one-command-per-net path (VGG19 reference
+    model/layers/vgg.py:15, FID pytorch_fid/inception.py:13, I3D
+    fvd.py:88, LPIPS lpips.py:14, FRCNN tennis_player_detector.py:14)."""
+    rng = np.random.default_rng(0)
+
+    def save_in(name, state):
+        path = str(tmp_path / f"{name}_in.npz")
+        np.savez(path, **{k: np.asarray(v) for k, v in state.items()})
+        return path
+
+    # VGG19: torchvision features state_dict (cfg E conv indices).
+    vgg_convs = [(0, 3, 64), (2, 64, 64), (5, 64, 128), (7, 128, 128),
+                 (10, 128, 256), (12, 256, 256), (14, 256, 256),
+                 (16, 256, 256), (19, 256, 512), (21, 512, 512),
+                 (23, 512, 512), (25, 512, 512), (28, 512, 512),
+                 (30, 512, 512), (32, 512, 512), (34, 512, 512)]
+    vgg_state = {}
+    for idx, cin, cout in vgg_convs:
+        vgg_state[f"features.{idx}.weight"] = rng.normal(
+            size=(cout, cin, 3, 3)).astype(np.float32) * 0.05
+        vgg_state[f"features.{idx}.bias"] = np.zeros((cout,), np.float32)
+
+    # FID-Inception / I3D: reference-named state dicts via the tested
+    # inverse mappings over randomly-initialized JAX variables.
+    from playablevideogeneration_tpu.evaluation.metrics.i3d import (
+        random_i3d_variables,
+    )
+    from playablevideogeneration_tpu.evaluation.metrics.inception import (
+        InceptionV3FID,
+    )
+
+    inception_vars = InceptionV3FID(input_size=75).init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 16, 16, 3)))
+    inception_state = _invert_inception_tree(
+        jax.tree.map(np.asarray, dict(inception_vars)))
+    i3d_state = _invert_i3d_tree(jax.tree.map(
+        np.asarray, dict(random_i3d_variables(jax.random.PRNGKey(4)))))
+
+    # LPIPS: official lin<i>.model.1.weight layout.
+    lpips_state = {f"lin{i}.model.1.weight":
+                   rng.uniform(0, 1, (1, c, 1, 1)).astype(np.float32)
+                   for i, c in enumerate([64, 128, 256, 512, 512])}
+
+    # FRCNN: rpn + box heads subset (the converter maps whatever
+    # torchvision keys are present; the full-net mapping has its own
+    # oracle suite in test_frcnn.py).
+    frcnn_state = {
+        "rpn.head.conv.weight": rng.normal(size=(16, 16, 3, 3)).astype(np.float32),
+        "rpn.head.conv.bias": np.zeros((16,), np.float32),
+        "rpn.head.cls_logits.weight": rng.normal(size=(3, 16, 1, 1)).astype(np.float32),
+        "rpn.head.cls_logits.bias": np.zeros((3,), np.float32),
+        "rpn.head.bbox_pred.weight": rng.normal(size=(12, 16, 1, 1)).astype(np.float32),
+        "rpn.head.bbox_pred.bias": np.zeros((12,), np.float32),
+        "roi_heads.box_head.fc6.weight": rng.normal(size=(32, 16 * 49)).astype(np.float32),
+        "roi_heads.box_head.fc6.bias": np.zeros((32,), np.float32),
+        "roi_heads.box_head.fc7.weight": rng.normal(size=(32, 32)).astype(np.float32),
+        "roi_heads.box_head.fc7.bias": np.zeros((32,), np.float32),
+        "roi_heads.box_predictor.cls_score.weight": rng.normal(size=(91, 32)).astype(np.float32),
+        "roi_heads.box_predictor.cls_score.bias": np.zeros((91,), np.float32),
+        "roi_heads.box_predictor.bbox_pred.weight": rng.normal(size=(91 * 4, 32)).astype(np.float32),
+        "roi_heads.box_predictor.bbox_pred.bias": np.zeros((91 * 4,), np.float32),
+    }
+
+    inputs = {"vgg19": vgg_state, "fid-inception": inception_state,
+              "i3d": i3d_state, "lpips": lpips_state, "frcnn": frcnn_state}
+    out_names = {"vgg19": "vgg19", "fid-inception": "fid_inception",
+                 "i3d": "i3d", "lpips": "lpips_lin", "frcnn": "frcnn"}
+
+    for backbone, state in inputs.items():
+        out_path = str(tmp_path / f"{out_names[backbone]}.npz")
+        _run_converter_cli(backbone, save_in(backbone, state), out_path)
+        assert os.path.isfile(out_path), backbone
+        if backbone == "lpips":
+            loaded = dict(np.load(out_path))
+            assert sorted(loaded) == [f"lin{i}" for i in range(5)]
+            assert [v.shape[0] for _, v in sorted(loaded.items())] == \
+                [64, 128, 256, 512, 512]
+        else:
+            loaded = pretrained.load_variables_npz(out_path)
+            assert "params" in loaded and loaded["params"], backbone
+
+    # The converted VGG19 actually drives the perceptual backbone.
+    from playablevideogeneration_tpu.models import vgg as vgg_lib
+
+    vgg_variables = pretrained.load_variables_npz(str(tmp_path / "vgg19.npz"))
+    feats = vgg_lib.make_vgg_apply(vgg_variables)(
+        jnp.ones((1, 32, 32, 3)) * 0.5)
+    assert len(feats) == 5 and all(np.isfinite(np.asarray(f)).all()
+                                   for f in feats)
