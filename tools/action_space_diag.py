@@ -71,6 +71,7 @@ def main():
         evaluators["validation"], variables, datasets,
         max_batches=args.max_batches)
     n_actions = soak_args.actions
+    n_model = getattr(soak_args, "model_actions", None) or n_actions
     # Motion labels follow data/synthetic._ACTION_DELTAS order:
     # 0 stay, 1 left, 2 right, 3 up, 4 down.
     dx, dy = movements[:, 0], movements[:, 1]
@@ -81,18 +82,21 @@ def main():
         motion[dy < 0] = 3
         motion[dy > 0] = 4
 
-    conf = np.zeros((n_actions, n_actions), int)
+    conf = np.zeros((n_actions, n_model), int)
     for m, a in zip(motion, actions):
         conf[m, a] += 1
     print("[diag] confusion rows=motion(stay,left,right,up,down) "
           "cols=inferred action")
     print(conf)
-    for k in range(n_actions):
+    for k in range(n_model):
         sel = movements[actions == k]
         mean = sel.mean(0).round(3).tolist() if len(sel) else None
         print(f"[diag] inferred {k}: count={len(sel)} mean_movement={mean}")
 
-    acc_motion, mapping = compute_actions_accuracy(actions, motion, n_actions)
+    # Square matching over max(model, motion) labels: surplus model
+    # clusters map to empty motion labels and count as errors.
+    acc_motion, mapping = compute_actions_accuracy(
+        actions, motion, max(n_actions, n_model))
     print(f"[diag] hungarian accuracy vs MOTION labels: {acc_motion:.4f} "
           f"(mapping {mapping})")
     print(json.dumps({"accuracy_vs_motion": round(float(acc_motion), 4),

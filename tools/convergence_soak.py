@@ -47,10 +47,12 @@ def build_config(args) -> dict:
     from playablevideogeneration_tpu.data.synthetic import make_synthetic_config
 
     size, t = args.size, args.observations
+    model_actions = getattr(args, "model_actions", None) or args.actions
     cfg = make_synthetic_config(
         data_root=os.path.join(args.root, "data"),
         output_root=os.path.join(args.root, "out"),
-        height=size, width=size, actions_count=args.actions,
+        height=size, width=size,
+        actions_count=model_actions,
         batch_size=args.batch_size, observations_count=t,
         observation_stacking=1,
         hidden_state_size=args.hidden_state_size,
@@ -202,6 +204,17 @@ def main():
     parser.add_argument("--observations", type=int, default=6)
     parser.add_argument("--gt-observations", type=int, default=4)
     parser.add_argument("--actions", type=int, default=3)
+    parser.add_argument("--model-actions", type=int, default=None,
+                        help="model discrete-action count when it should "
+                             "EXCEED the dataset's true motion count — the "
+                             "reference's own practice (03_tennis.yaml "
+                             "actions_count: 7 for ~5 real motions) that "
+                             "gives the MI objective slack to split "
+                             "over-represented motions (border-clamped "
+                             "moves all read as 'stay') without starving "
+                             "a real direction of its cluster; Hungarian "
+                             "accuracy still scores vs the TRUE labels, "
+                             "surplus clusters count as errors")
     parser.add_argument("--hidden-state-size", type=int, default=32)
     parser.add_argument("--state-features", type=int, default=32)
     parser.add_argument("--compute-dtype", default="bfloat16")
@@ -307,11 +320,12 @@ def main():
     os.makedirs(plots_dir, exist_ok=True)
     from playablevideogeneration_tpu.evaluation.plotting import density_plots
 
-    density_plots.plot_all(actions, movements, args.actions, plots_dir,
+    model_actions = getattr(args, "model_actions", None) or args.actions
+    density_plots.plot_all(actions, movements, model_actions, plots_dir,
                            prefix="soak_")
 
     per_action = {}
-    for a in range(args.actions):
+    for a in range(model_actions):
         sel = movements[actions == a]
         per_action[str(a)] = {
             "count": int(sel.shape[0]),
@@ -329,6 +343,7 @@ def main():
         "steps": trainer.global_step,
         "pretraining_steps": args.pretraining_steps,
         "actions_count": args.actions,
+        "model_actions_count": model_actions,
         "chance_accuracy": round(1.0 / args.actions, 4),
         "first_eval": first,
         "last_eval": last,
