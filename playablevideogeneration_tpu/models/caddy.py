@@ -55,10 +55,17 @@ def resolve_remat_policy(name: Optional[str]):
     if name == "dots_no_batch":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     if name.startswith("names:"):
-        names = [n for n in name[len("names:"):].split(",") if n]
+        # '+' is accepted as a separator so a names policy can ride
+        # inside comma-separated sweep lists (tools/train_tune.py
+        # --policies 'full,names:convout32+convout64').
+        names = [n for n in name[len("names:"):]
+                 .replace("+", ",").split(",") if n]
         return jax.checkpoint_policies.save_only_these_names(*names)
     raise ValueError(f"Unknown tpu.remat_policy '{name}' "
-                     "(expected full|dots|dots_no_batch|names:<a,b,...>)")
+                     "(expected full|dots|dots_no_batch|names:<a,b,...>; "
+                     "the models tag conv/upsample outputs as "
+                     "convout32/64/128/256 and upout64/128/256 — see "
+                     "layers.tag_activation)")
 
 
 class Caddy(nn.Module):

@@ -23,6 +23,7 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from playablevideogeneration_tpu.ops.fused_upsample_conv import fused_upsample2_conv3
 from playablevideogeneration_tpu.ops.subpixel_conv import (
@@ -31,6 +32,28 @@ from playablevideogeneration_tpu.ops.subpixel_conv import (
 )
 
 Dtype = Any
+
+
+def tag_activation(y: jnp.ndarray, kind: str = "convout") -> jnp.ndarray:
+    """Resolution-bucketed `checkpoint_name` tag on an activation.
+
+    Every conv/upsample output in the blocks below is tagged
+    `convout<bucket>` where bucket is the spatial size rounded up to a
+    power of two (>= 32).  The tags are inert identities unless
+    `tpu.remat_policy` selects them, e.g. `names:convout32+convout64`
+    saves exactly the conv outputs at or below 64px inside the remat'd
+    scan step — a resolution-bounded `dots_saveable` that buys back the
+    backward-pass recompute of the cheap-in-bytes low-resolution layers
+    without the full-resolution HBM cost that made plain `dots` lose the
+    round-4 A/B (docs/PROFILE_r4.md).  Reference cost center: the hot
+    loop at model/main_model/model.py:215-260 under full BPTT."""
+    if y.ndim < 3:
+        return y
+    size = max(int(y.shape[-3]), int(y.shape[-2]))
+    bucket = 32
+    while bucket < size:
+        bucket *= 2
+    return checkpoint_name(y, f"{kind}{bucket}")
 
 
 def leaky_relu(x: jnp.ndarray) -> jnp.ndarray:
@@ -167,20 +190,23 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_planes = x.shape[-1]
-        out = nn.Conv(self.out_planes, (3, 3), use_bias=False, dtype=self.dtype,
-                      param_dtype=jnp.float32, name="conv1")(x)
+        out = tag_activation(nn.Conv(self.out_planes, (3, 3), use_bias=False,
+                                     dtype=self.dtype, param_dtype=jnp.float32,
+                                     name="conv1")(x))
         out = avg_pool(out, self.downsample_factor)
         out = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
                         activation="leaky_relu", name="bn1")(out)
-        out = nn.Conv(self.out_planes, (3, 3), use_bias=False, dtype=self.dtype,
-                      param_dtype=jnp.float32, name="conv2")(out)
+        out = tag_activation(nn.Conv(self.out_planes, (3, 3), use_bias=False,
+                                     dtype=self.dtype, param_dtype=jnp.float32,
+                                     name="conv2")(out))
         out = BatchNorm(use_running_average=not self.train, affine=self.last_affine,
                         dtype=self.dtype, name="bn2")(out)
 
         identity = x
         if self.downsample_factor != 1 or in_planes != self.out_planes:
-            identity = nn.Conv(self.out_planes, (1, 1), use_bias=False, dtype=self.dtype,
-                               param_dtype=jnp.float32, name="shortcut_conv")(x)
+            identity = tag_activation(
+                nn.Conv(self.out_planes, (1, 1), use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="shortcut_conv")(x))
             identity = avg_pool(identity, self.downsample_factor)
             identity = BatchNorm(use_running_average=not self.train, affine=self.last_affine,
                                  dtype=self.dtype, name="shortcut_bn")(identity)
@@ -202,8 +228,9 @@ class SameBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        out = nn.Conv(self.out_planes, (3, 3), use_bias=False, dtype=self.dtype,
-                      param_dtype=jnp.float32, name="conv1")(x)
+        out = tag_activation(nn.Conv(self.out_planes, (3, 3), use_bias=False,
+                                     dtype=self.dtype, param_dtype=jnp.float32,
+                                     name="conv1")(x))
         out = avg_pool(out, self.downsample_factor)
         activation = None if self.drop_final_activation else "leaky_relu"
         out = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
@@ -249,14 +276,15 @@ class UpBlock(nn.Module):
                                name="conv")(out)
         else:
             if not self.late_upscaling:
-                out = up(out, self.scale_factor)
+                out = tag_activation(up(out, self.scale_factor), kind="upout")
             out = nn.Conv(self.out_planes, (self.kernel_size, self.kernel_size),
                           use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                           name="conv")(out)
+        out = tag_activation(out)
         out = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
                         activation="leaky_relu", name="norm")(out)
         if self.late_upscaling:
-            out = up(out, self.scale_factor)
+            out = tag_activation(up(out, self.scale_factor), kind="upout")
         return out
 
 
@@ -340,7 +368,7 @@ class FinalBlock(nn.Module):
         else:
             x = nn.Conv(self.out_planes, (self.kernel_size, self.kernel_size), use_bias=True,
                         dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
-        return jnp.tanh(x)
+        return jnp.tanh(tag_activation(x))
 
 
 def broadcast_to_spatial(vec: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
@@ -392,8 +420,9 @@ class ConvLSTMCell(nn.Module):
 
         h, c = carry
         z = jnp.concatenate([x, h], axis=-1)
-        gates = nn.Conv(4 * self.out_planes, (3, 3), use_bias=True, dtype=self.dtype,
-                        param_dtype=jnp.float32, name="gates")(z)
+        gates = tag_activation(
+            nn.Conv(4 * self.out_planes, (3, 3), use_bias=True, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="gates")(z))
         # Post-conv gate update: one fused Pallas VPU pass on TPU, the
         # equivalent jnp chain elsewhere (ops/pallas/convlstm_gates.py).
         new_h, new_c = fused_lstm_gates(gates, c)

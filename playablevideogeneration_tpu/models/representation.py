@@ -19,6 +19,7 @@ from playablevideogeneration_tpu.models.layers import (
     _SubpixelConv,
     avg_pool,
     leaky_relu,
+    tag_activation,
 )
 
 
@@ -51,6 +52,7 @@ class RepresentationNetwork(nn.Module):
         else:
             x = nn.Conv(16, (3, 3), use_bias=False, dtype=self.dtype,
                         param_dtype=jnp.float32, name="conv1")(observations)
+        x = tag_activation(x)
         x = avg_pool(x, 2)
         x = BatchNorm(use_running_average=not train, dtype=self.dtype,
                       activation="leaky_relu", name="bn1")(x)

@@ -322,3 +322,45 @@ def test_resolve_remat_policy_names():
     assert callable(resolve_remat_policy("names:a,b"))
     with pytest.raises(ValueError, match="Unknown tpu.remat_policy"):
         resolve_remat_policy("bogus")
+
+
+def test_names_remat_policy_matches_full_remat_gradients(tiny_model, tiny_variables):
+    """`tpu.remat_policy='names:convout32+convout64'` (save the tagged
+    low-resolution conv outputs, layers.tag_activation) is an execution-
+    schedule choice: loss value and gradients must equal full remat."""
+    from playablevideogeneration_tpu.models.caddy import (
+        Caddy, resolve_remat_policy)
+
+    obs, acts = _random_batch(9)
+
+    def make_loss(policy):
+        model = Caddy(
+            actions_count=3, action_space_dimension=2, state_features=8,
+            state_resolution=(4, 4), hidden_state_size=8,
+            observation_stacking=2, remat=True, remat_policy=policy)
+
+        def loss(params, variables):
+            out = model.apply(
+                dict(variables, params=params), obs, acts, 2, train=False,
+                gumbel_temperature=0.9, rngs={"sample": jax.random.PRNGKey(3)})
+            return jnp.mean(jnp.abs(out.reconstructed_observations))
+
+        return loss
+
+    # The policy string parses (both separators) and is a real policy.
+    assert resolve_remat_policy("names:convout32+convout64") is not None
+    assert resolve_remat_policy("names:convout32,convout64") is not None
+
+    params = tiny_variables["params"]
+    v_full, g_full = jax.jit(jax.value_and_grad(make_loss(None)))(
+        params, tiny_variables)
+    v_sel, g_sel = jax.jit(jax.value_and_grad(
+        make_loss("names:convout32+convout64")))(params, tiny_variables)
+    np.testing.assert_allclose(np.asarray(v_sel), np.asarray(v_full),
+                               rtol=1e-6, atol=1e-7)
+    for (p, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_full),
+            jax.tree_util.tree_leaves_with_path(g_sel)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6,
+            err_msg=f"gradient mismatch at {jax.tree_util.keystr(p)}")
